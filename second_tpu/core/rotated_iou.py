@@ -1,0 +1,188 @@
+"""Rotated-rectangle intersection / IoU, fully vectorized.
+
+Replaces the reference's native kernels (spconv ``rbbox_iou`` C++ and the
+numba-CUDA polygon-clipping kernels in
+second/core/non_max_suppression/nms_gpu.py:140-640) with one fixed-shape
+formulation that runs under numpy on the host AND under jax.numpy on
+TPU (same code, array-namespace parameter), so the device NMS/eval path
+never leaves the chip.
+
+Algorithm (same geometric construction as the reference's CUDA
+``devRotateIoUEval``): the intersection of two convex quads is the
+convex polygon whose vertices are (a) corners of box A inside box B,
+(b) corners of box B inside box A, and (c) pairwise edge-edge
+intersection points — at most 24 candidates.  We collect candidates
+into a fixed [24, 2] buffer with a validity mask, sort by angle around
+the valid-centroid, and integrate the shoelace formula over the sorted
+ring.  Everything is static-shape: XLA-friendly by construction.
+"""
+
+import numpy as np
+
+
+def box_to_corners(boxes, xp=np):
+    """[..., 5] (x, y, w, l, angle) -> [..., 4, 2] corners.
+
+    Corner order matches box_ops.center_to_corner_box2d (clockwise:
+    (-w/2,-l/2), (-w/2,+l/2), (+w/2,+l/2), (+w/2,-l/2) rotated).
+    """
+    x, y, w, l, ang = (boxes[..., i] for i in range(5))
+    c, s = xp.cos(ang), xp.sin(ang)
+    # template corners (+-w/2, +-l/2) in the clockwise order used by
+    # corners_nd's [0,1,3,2] permutation
+    dx = xp.stack([-w, -w, w, w], axis=-1) * 0.5
+    dy = xp.stack([-l, l, l, -l], axis=-1) * 0.5
+    # rotation convention of box_ops.rotation_2d: x' = x cos + y sin,
+    # y' = -x sin + y cos
+    cx = dx * c[..., None] + dy * s[..., None] + x[..., None]
+    cy = -dx * s[..., None] + dy * c[..., None] + y[..., None]
+    return xp.stack([cx, cy], axis=-1)
+
+
+def _points_in_rect(points, rect_corners, xp=np):
+    """Inclusive point-in-rectangle via edge projections.
+
+    points: [..., P, 2]; rect_corners: [..., 4, 2] (in ring order).
+    Returns [..., P] bool.
+    """
+    c0 = rect_corners[..., 0:1, :]
+    ab = rect_corners[..., 1:2, :] - c0  # first edge
+    ad = rect_corners[..., 3:4, :] - c0  # last edge (perpendicular)
+    ap = points - c0
+    dot_ab = xp.sum(ap * ab, axis=-1)
+    dot_ad = xp.sum(ap * ad, axis=-1)
+    nab = xp.sum(ab * ab, axis=-1)
+    nad = xp.sum(ad * ad, axis=-1)
+    return (
+        (dot_ab >= 0) & (dot_ab <= nab) & (dot_ad >= 0) & (dot_ad <= nad)
+    )
+
+
+def _edge_intersections(ca, cb, xp=np):
+    """All 16 edge-pair intersection points of two quads.
+
+    ca, cb: [..., 4, 2]. Returns points [..., 16, 2], valid [..., 16].
+    """
+    a0 = ca  # [..., 4, 2]
+    a1 = xp.concatenate([ca[..., 1:, :], ca[..., :1, :]], axis=-2)
+    b0 = cb
+    b1 = xp.concatenate([cb[..., 1:, :], cb[..., :1, :]], axis=-2)
+    # broadcast to [..., 4(a), 4(b), 2]
+    a0 = a0[..., :, None, :]
+    a1 = a1[..., :, None, :]
+    b0 = b0[..., None, :, :]
+    b1 = b1[..., None, :, :]
+    da = a1 - a0
+    db = b1 - b0
+    denom = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
+    safe = xp.where(denom == 0, 1.0, denom)
+    d0 = b0 - a0
+    t = (d0[..., 0] * db[..., 1] - d0[..., 1] * db[..., 0]) / safe
+    u = (d0[..., 0] * da[..., 1] - d0[..., 1] * da[..., 0]) / safe
+    valid = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    pts = a0 + t[..., None] * da
+    batch = pts.shape[:-3]
+    return pts.reshape(batch + (16, 2)), valid.reshape(batch + (16,))
+
+
+def _convex_area_from_candidates(pts, valid, xp=np):
+    """Area of the convex polygon spanned by masked candidate points.
+
+    pts: [..., M, 2], valid: [..., M]. Sorts valid points by angle
+    around their centroid and applies the shoelace formula; <3 valid
+    points give area 0.
+    """
+    num_valid = xp.sum(valid, axis=-1)  # [...]
+    vf = valid.astype(pts.dtype)[..., None]
+    centroid = xp.sum(pts * vf, axis=-2, keepdims=True) / xp.maximum(
+        xp.sum(vf, axis=-2, keepdims=True), 1.0
+    )
+    rel = pts - centroid
+    ang = xp.arctan2(rel[..., 1], rel[..., 0])
+    ang = xp.where(valid, ang, xp.inf)  # invalid sort to the end
+    order = xp.argsort(ang, axis=-1)
+    rel_sorted = xp.take_along_axis(rel, order[..., None], axis=-2)
+    # ring successor: next valid index, wrapping the last valid to 0
+    m = pts.shape[-2]
+    idx = np.arange(m)
+    is_last = idx == (num_valid[..., None] - 1)
+    nxt_idx = xp.where(is_last, 0, xp.minimum(idx + 1, m - 1))
+    nxt = xp.take_along_axis(rel_sorted, nxt_idx[..., None], axis=-2)
+    cross = (
+        rel_sorted[..., 0] * nxt[..., 1] - rel_sorted[..., 1] * nxt[..., 0]
+    )
+    in_ring = idx < num_valid[..., None]
+    area = 0.5 * xp.abs(xp.sum(xp.where(in_ring, cross, 0.0), axis=-1))
+    return xp.where(num_valid >= 3, area, 0.0)
+
+
+def rotated_intersection_area(corners1, corners2, xp=np):
+    """Pairwise intersection areas of two corner-quads (broadcasting).
+
+    corners1/corners2: [..., 4, 2] (already broadcast against each
+    other). Returns [...] areas.
+    """
+    in12 = _points_in_rect(corners1, corners2, xp=xp)  # A corners in B
+    in21 = _points_in_rect(corners2, corners1, xp=xp)  # B corners in A
+    epts, evalid = _edge_intersections(corners1, corners2, xp=xp)
+    pts = xp.concatenate([corners1, corners2, epts], axis=-2)  # [..., 24, 2]
+    valid = xp.concatenate([in12, in21, evalid], axis=-1)
+    return _convex_area_from_candidates(pts, valid, xp=xp)
+
+
+def _rect_area(corners, xp=np):
+    e1 = corners[..., 1, :] - corners[..., 0, :]
+    e2 = corners[..., 3, :] - corners[..., 0, :]
+    return xp.sqrt(xp.sum(e1 * e1, axis=-1) * xp.sum(e2 * e2, axis=-1))
+
+
+def rotated_iou_matrix(boxes1, boxes2, criterion=-1, xp=np):
+    """Pairwise rotated overlap [N, K] of [N, 5] x [K, 5] (x, y, w, l, r).
+
+    criterion -1: IoU (inter / union); 0: inter / area1; 1: inter /
+    area2 (matching the reference devRotateIoUEval criteria,
+    nms_gpu.py:550-575).
+    """
+    c1 = box_to_corners(boxes1, xp=xp)[:, None]  # [N, 1, 4, 2]
+    c2 = box_to_corners(boxes2, xp=xp)[None, :]  # [1, K, 4, 2]
+    shape = (boxes1.shape[0], boxes2.shape[0])
+    c1 = xp.broadcast_to(c1, shape + (4, 2))
+    c2 = xp.broadcast_to(c2, shape + (4, 2))
+    inter = rotated_intersection_area(c1, c2, xp=xp)
+    area1 = _rect_area(c1, xp=xp)
+    area2 = _rect_area(c2, xp=xp)
+    if criterion == -1:
+        denom = area1 + area2 - inter
+    elif criterion == 0:
+        denom = area1
+    elif criterion == 1:
+        denom = area2
+    else:
+        raise ValueError(f"bad criterion {criterion}")
+    return inter / xp.where(denom == 0, 1.0, denom)
+
+
+def rotated_iou(boxes1, boxes2, criterion=-1, standup_thresh=0.0, chunk=2048):
+    """Host (numpy) pairwise rotated IoU with standup-box gating.
+
+    Matches riou_cc semantics (reference box_np_ops.py:10-21): pairs
+    whose axis-aligned standup boxes have IoU <= standup_thresh are 0.
+    Chunks over boxes1 to bound the [chunk, K, 24, 2] temporaries.
+    """
+    from . import box_ops
+
+    boxes1 = np.asarray(boxes1, dtype=np.float64)
+    boxes2 = np.asarray(boxes2, dtype=np.float64)
+    n, k = boxes1.shape[0], boxes2.shape[0]
+    out = np.zeros((n, k), dtype=np.float64)
+    if n == 0 or k == 0:
+        return out
+    su1 = box_ops.corner_to_standup_nd(box_to_corners(boxes1))
+    su2 = box_ops.corner_to_standup_nd(box_to_corners(boxes2))
+    standup_iou = box_ops.iou(su1, su2, eps=0.0)
+    gate = standup_iou > standup_thresh
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        block = rotated_iou_matrix(boxes1[s:e], boxes2, criterion=criterion)
+        out[s:e] = np.where(gate[s:e], block, 0.0)
+    return out
