@@ -2,12 +2,18 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware. Must be set before jax is imported anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# without TPU hardware. XLA_FLAGS must be set before the backend initializes;
+# the axon TPU plugin ignores the JAX_PLATFORMS env var, so we also force the
+# platform through jax.config (effective because backends init lazily).
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
