@@ -1,0 +1,87 @@
+"""Optimizer construction (optax).
+
+Reproduces the reference's fastai OptimWrapper semantics
+(second/pytorch/builder/optimizer_builder.py + torchplus/train/
+fastai_optim.py:154-167): grad-clip by global norm 10.0 before the step
+(train.py:323), ``fixed_weight_decay`` (true AdamW: multiplicative
+p *= 1 - lr*wd, equal to optax.adamw's decoupled decay) vs classic
+L2-in-gradient decay, with weight decay applied to ALL parameters
+including norm scales and biases (bn_wd=True upstream).  The OneCycle
+momentum annealing drives adam's b1 through inject_hyperparams.
+"""
+
+import optax
+
+from ..configs import schema
+from . import schedules
+
+GRAD_CLIP_NORM = 10.0
+
+
+def build(optimizer_config: schema.Optimizer, total_step):
+    """Optimizer proto -> (optax.GradientTransformation, lr_fn, mom_fn)."""
+    which = optimizer_config.WhichOneof("optimizer")
+    fixed_wd = optimizer_config.fixed_weight_decay
+    if optimizer_config.use_moving_average:
+        raise NotImplementedError("moving average optimizer not supported")
+
+    if which == "adam_optimizer":
+        cfg = optimizer_config.adam_optimizer
+        if cfg.amsgrad:
+            raise NotImplementedError("amsgrad not supported")
+        lr_fn, mom_fn = schedules.build(
+            cfg.learning_rate, total_step, default_momentum=0.9)
+        wd = cfg.weight_decay
+
+        @optax.inject_hyperparams
+        def make(lr, b1):
+            if fixed_wd:
+                tx = optax.adamw(lr, b1=b1, b2=0.999, eps=1e-8,
+                                 weight_decay=wd)
+            else:
+                tx = optax.chain(
+                    optax.add_decayed_weights(wd),
+                    optax.scale_by_adam(b1=b1, b2=0.999, eps=1e-8),
+                    optax.scale_by_learning_rate(lr),  # scales by -lr
+                )
+            return optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), tx)
+
+        tx = make(lr=lr_fn, b1=mom_fn)
+        return tx, lr_fn, mom_fn
+
+    if which == "momentum_optimizer":
+        cfg = optimizer_config.momentum_optimizer
+        lr_fn, mom_fn = schedules.build(
+            cfg.learning_rate, total_step,
+            default_momentum=cfg.momentum_optimizer_value)
+        wd = cfg.weight_decay
+
+        @optax.inject_hyperparams
+        def make(lr, mom):
+            return optax.chain(
+                optax.clip_by_global_norm(GRAD_CLIP_NORM),
+                optax.add_decayed_weights(wd),
+                optax.sgd(lr, momentum=mom),
+            )
+
+        return make(lr=lr_fn, mom=mom_fn), lr_fn, mom_fn
+
+    if which == "rms_prop_optimizer":
+        cfg = optimizer_config.rms_prop_optimizer
+        lr_fn, mom_fn = schedules.build(
+            cfg.learning_rate, total_step,
+            default_momentum=cfg.momentum_optimizer_value)
+
+        @optax.inject_hyperparams
+        def make(lr, mom):
+            return optax.chain(
+                optax.clip_by_global_norm(GRAD_CLIP_NORM),
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.rmsprop(
+                    lr, decay=cfg.decay or 0.9, eps=cfg.epsilon or 1e-8,
+                    momentum=mom),
+            )
+
+        return make(lr=lr_fn, mom=mom_fn), lr_fn, mom_fn
+
+    raise ValueError("empty optimizer config")

@@ -1,0 +1,146 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from second_tpu.builders import build_network
+from second_tpu.data.synthetic import assemble_example, make_scene
+from second_tpu.train import optimizer as opt_builder
+from second_tpu.train import schedules
+from second_tpu.train.checkpoint import save, try_restore_latest
+from second_tpu.train.state import TrainState, make_eval_step, make_train_step
+from second_tpu.utils.config_tool import change_detection_range, read_config
+
+XYRES16 = "/root/reference/second/configs/pointpillars/car/xyres_16.config"
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(XYRES16), reason="reference configs absent"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = read_config(XYRES16)
+    change_detection_range(cfg.model.second, [0.0, -10.24, 20.48, 10.24])
+    parts = build_network(cfg.model.second)
+    rng = np.random.RandomState(0)
+    scenes = [
+        make_scene(rng, num_objects=3, num_bg_points=2000,
+                   x_range=(0, 20.4), y_range=(-10, 10))
+        for _ in range(2)
+    ]
+    ex = assemble_example(parts, scenes, max_voxels=800)
+    ex = {k: jnp.asarray(v) for k, v in ex.items()}
+    return cfg, parts, ex
+
+
+def test_schedules_one_cycle():
+    lr_fn, mom_fn = schedules.one_cycle(1000, 3e-3, [0.95, 0.85], 10.0, 0.4)
+    assert float(lr_fn(0)) == pytest.approx(3e-4, rel=1e-5)
+    assert float(lr_fn(400)) == pytest.approx(3e-3, rel=1e-3)
+    assert float(lr_fn(1000)) == pytest.approx(3e-4 / 1e4, rel=1e-2)
+    assert float(mom_fn(0)) == pytest.approx(0.95)
+    assert float(mom_fn(400)) == pytest.approx(0.85, rel=1e-3)
+    assert float(mom_fn(1000)) == pytest.approx(0.95, rel=1e-3)
+
+
+def test_schedules_exp_decay():
+    lr_fn = schedules.exponential_decay(1000, 1e-3, 0.1, 0.8, True)
+    assert float(lr_fn(0)) == pytest.approx(1e-3)
+    assert float(lr_fn(150)) == pytest.approx(8e-4)
+    assert float(lr_fn(950)) == pytest.approx(1e-3 * 0.8**9, rel=1e-5)
+
+
+def test_overfit_synthetic(setup):
+    cfg, parts, ex = setup
+    net, spec = parts["net"], parts["spec"]
+    tx, lr_fn, _ = opt_builder.build(
+        cfg.train_config.optimizer, total_step=100)
+    variables = net.init(
+        jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+        ex["coordinates"])
+    state = TrainState.create(variables, tx)
+    step = make_train_step(net, spec, tx)
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, ex)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, losses
+    assert int(state.global_step) == 25
+    del lr_fn
+
+
+def test_eval_step_runs(setup):
+    cfg, parts, ex = setup
+    net, spec = parts["net"], parts["spec"]
+    tx, _, _ = opt_builder.build(cfg.train_config.optimizer, total_step=100)
+    variables = net.init(
+        jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+        ex["coordinates"])
+    state = TrainState.create(variables, tx)
+    eval_step = make_eval_step(net, spec)
+    dets = eval_step(state, ex)
+    assert dets["box3d_lidar"].shape[0] == 2
+
+
+def test_sharded_train_step_8dev(setup):
+    from second_tpu.parallel import make_mesh, put_sharded
+
+    cfg, parts, ex = setup
+    assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+    mesh = make_mesh()
+    net, spec = parts["net"], parts["spec"]
+    tx, _, _ = opt_builder.build(cfg.train_config.optimizer, total_step=100)
+    # batch of 8: tile the batch-2 example
+    ex8 = {k: jnp.concatenate([v] * 4, axis=0) for k, v in ex.items()}
+    ex8 = put_sharded(ex8, mesh)
+    variables = net.init(
+        jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+        ex["coordinates"])
+    state = TrainState.create(variables, tx)
+    step = make_train_step(net, spec, tx, mesh=mesh)
+    state, metrics = step(state, ex8)
+    assert np.isfinite(float(metrics["loss"]))
+    # single-device step on the same batch must match (allreduce parity)
+    state2 = TrainState.create(
+        net.init(jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+                 ex["coordinates"]), tx)
+    step1 = make_train_step(net, spec, tx)
+    ex8_local = {k: jnp.concatenate([v] * 4, axis=0) for k, v in ex.items()}
+    state2, metrics2 = step1(state2, ex8_local)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics2["loss"]), rtol=1e-5)
+    # adam's update is sign-sensitive for near-zero grads, so cross-shard
+    # reduction-order noise bounds parity at ~2*lr per step, not 1e-7
+    lr0 = 2.25e-4  # one_cycle low_lr for this config
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2 * lr0)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    cfg, parts, ex = setup
+    net = parts["net"]
+    tx, _, _ = opt_builder.build(cfg.train_config.optimizer, total_step=100)
+    variables = net.init(
+        jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+        ex["coordinates"])
+    state = TrainState.create(variables, tx)
+    save(tmp_path, state, "voxelnet", 42)
+    save(tmp_path, state, "voxelnet", 43)
+    restored, step = try_restore_latest(tmp_path, "voxelnet", state)
+    assert step == 43
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    p2 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    # manifest format parity
+    import json
+    with open(tmp_path / "checkpoints.json") as f:
+        info = json.load(f)
+    assert info["latest_ckpt"]["voxelnet"] == "voxelnet-43.ckpt"
+    assert info["all_ckpts"]["voxelnet"] == [
+        "voxelnet-42.ckpt", "voxelnet-43.ckpt"]
+    # missing name
+    _, none_step = try_restore_latest(tmp_path, "other", state)
+    assert none_step is None
