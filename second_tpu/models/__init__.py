@@ -12,5 +12,6 @@ from .registry import (  # noqa: F401
 # import model modules for their registration side effects
 from . import voxel_encoders  # noqa: F401,E402
 from . import middle  # noqa: F401,E402
+from . import sparse_middle  # noqa: F401,E402
 from . import rpn  # noqa: F401,E402
 from . import voxelnet  # noqa: F401,E402

@@ -1,0 +1,153 @@
+"""Sparse 3D middle extractors (the SECOND middle network family).
+
+Topology parity with the reference spconv middles
+(second/pytorch/models/middle.py:110-642): stacks of submanifold convs
++ strided downsample convs, each Conv+BN(eps 1e-3, momentum .01)+ReLU,
+ending with a dense reshape to a BEV pseudo-image.  Here the engine is
+second_tpu.ops.sparse (static-capacity active sets, rulebook reuse
+across subm convs = spconv's ``indice_key``), and the dense output is
+NHWC [B, H, W, D*C].
+"""
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import sparse
+from .layers import MaskedBatchNorm
+from .registry import register_middle
+
+
+def _t3(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    return (int(v),) * 3
+
+
+# topology ops: ("subm", out_ch, kernel) | ("down", out_ch, kernel, stride, pad)
+FHD_TOPOLOGY = (
+    ("subm", 16, 3), ("subm", 16, 3),
+    ("down", 32, 3, 2, 1),
+    ("subm", 32, 3), ("subm", 32, 3),
+    ("down", 64, 3, 2, 1),
+    ("subm", 64, 3), ("subm", 64, 3), ("subm", 64, 3),
+    ("down", 64, 3, 2, (0, 1, 1)),
+    ("subm", 64, 3), ("subm", 64, 3), ("subm", 64, 3),
+    ("down", 64, (3, 1, 1), (2, 1, 1), 0),
+)
+
+FHD_PEOPLE_TOPOLOGY = (
+    ("subm", 16, 3), ("subm", 16, 3),
+    ("down", 32, 3, 2, 1),
+    ("subm", 32, 3), ("subm", 32, 3),
+    ("down", 64, 3, 2, (0, 1, 1)),
+    ("subm", 64, 3), ("subm", 64, 3), ("subm", 64, 3),
+    ("down", 64, (3, 1, 1), (2, 1, 1), 0),
+)
+
+FHD_LITE_TOPOLOGY = (
+    ("down", 16, 3, 2, 1),
+    ("down", 32, 3, 2, 1),
+    ("down", 64, 3, 2, (0, 1, 1)),
+    ("down", 64, (3, 1, 1), (2, 1, 1), 0),
+)
+
+
+class SparseMiddleBase(nn.Module):
+    """Shared engine; subclasses set ``topology``."""
+
+    output_shape: Sequence[int]  # [1, nz, ny, nx, C]
+    use_norm: bool = True
+    num_input_features: int = 128
+    num_filters_down1: Sequence[int] = (64,)
+    num_filters_down2: Sequence[int] = (64, 64)
+    topology: Tuple = FHD_TOPOLOGY
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, train=False):
+        nz, ny, nx = (int(v) for v in self.output_shape[1:4])
+        # spconv pads z by 1 (middle.py:140: sparse_shape = grid + [1,0,0])
+        sparse_shape = (nz + 1, ny, nx)
+        grid = sparse.from_voxel_coords(
+            voxel_features, coords, sparse_shape)
+
+        rulebook = None
+        rulebook_kernel = None
+        cin = self.num_input_features
+        li = 0
+        for op in self.topology:
+            if op[0] == "subm":
+                _, cout, kernel = op
+                kernel = _t3(kernel)
+                if rulebook is None or rulebook_kernel != kernel:
+                    rulebook = sparse.build_subm_rulebook(grid, kernel)
+                    rulebook_kernel = kernel
+                k = int(np.prod(kernel))
+                w = self.param(
+                    f"subm{li}_w",
+                    nn.initializers.variance_scaling(
+                        1.0, "fan_in", "normal"),
+                    (k, cin, cout))
+                bias = (
+                    None if self.use_norm else self.param(
+                        f"subm{li}_b", nn.initializers.zeros, (cout,)))
+                grid = sparse.subm_conv(grid, rulebook, w, bias)
+            else:
+                _, cout, kernel, stride, pad = op
+                kernel, stride, pad = _t3(kernel), _t3(stride), _t3(pad)
+                out_grid = sparse.downsample_active_set(
+                    grid, kernel, stride, pad)
+                k = int(np.prod(kernel))
+                w = self.param(
+                    f"down{li}_w",
+                    nn.initializers.variance_scaling(
+                        1.0, "fan_in", "normal"),
+                    (k, cin, cout))
+                bias = (
+                    None if self.use_norm else self.param(
+                        f"down{li}_b", nn.initializers.zeros, (cout,)))
+                grid = sparse.sparse_conv(
+                    grid, out_grid, w, kernel, stride, pad, bias)
+                rulebook = None
+                rulebook_kernel = None
+            if self.use_norm:
+                feats = MaskedBatchNorm(name=f"bn{li}")(
+                    grid.features, mask=grid.valid,
+                    use_running_average=not train)
+            else:
+                feats = grid.features
+            feats = nn.relu(feats)
+            feats = jnp.where(grid.valid[..., None], feats, 0.0)
+            grid = grid._replace(features=feats)
+            cin = cout
+            li += 1
+
+        dense = sparse.to_dense(grid)  # [B, D, H, W, C]
+        b, d, h, w_, c = dense.shape
+        # NHWC pseudo-image with channel index c*D + d (matches the
+        # reference's view(N, C*D, H, W) channel order, middle.py:206-209)
+        return dense.transpose(0, 2, 3, 4, 1).reshape(b, h, w_, c * d)
+
+
+@register_middle
+class SpMiddleFHD(SparseMiddleBase):
+    """The SECOND FHD middle net (middle.py:110-210): 4 downsample
+    stages [41, 1600, 1408] -> [2, 200, 176], channels 16->32->64."""
+
+    topology: Tuple = FHD_TOPOLOGY
+
+
+@register_middle
+class SpMiddleFHDPeople(SparseMiddleBase):
+    """3-stage variant for pedestrian/cyclist grids (middle.py:212-299)."""
+
+    topology: Tuple = FHD_PEOPLE_TOPOLOGY
+
+
+@register_middle
+class SpMiddleFHDLite(SparseMiddleBase):
+    """Downsample-only lite variant (middle.py:417-485)."""
+
+    topology: Tuple = FHD_LITE_TOPOLOGY

@@ -1,0 +1,288 @@
+"""TPU-native sparse 3D convolution (submanifold + strided).
+
+Replaces the external spconv C++/CUDA library the reference's middle
+extractors depend on (second/pytorch/models/middle.py:4,64,98 —
+SubMConv3d / SparseConv3d / SparseConvTensor).  Design:
+
+  * Active sets have STATIC capacity ``V`` per stage: features
+    [B, V, C], coords [B, V, 3] int32 zyx with -1 padding — everything
+    jit-compiles once and pipelines.
+  * Voxels are kept sorted by linearized coord per batch row; neighbor
+    lookup is a vectorized binary search (jnp.searchsorted) into the
+    sorted id array — no giant dense index grid, no host hash table.
+  * A "rulebook" ([B, V, K] neighbor slot indices) is built once per
+    active set and shared by every submanifold conv on that set —
+    functional equivalent of spconv's ``indice_key`` reuse
+    (middle.py:146-190).
+  * conv = gather neighbors -> one [V, K*Cin] x [K*Cin, Cout] matmul
+    (MXU-shaped) -> output at active positions.
+  * Strided conv emits the standard spconv output active set (every
+    position whose kernel window touches an input voxel), deduplicated
+    by sort; overflow beyond the static capacity is dropped (counted,
+    never silent — see ``SparseGrid.num_active`` vs capacity).
+
+Weight layout: [K, Cin, Cout] where K enumerates kernel offsets in C
+order over (dz, dy, dx), dz fastest-last (i.e. np.ndindex(kz, ky, kx)).
+"""
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SparseGrid(NamedTuple):
+    """Batched static-capacity sparse voxel set (sorted by linear id)."""
+
+    features: jnp.ndarray  # [B, V, C]
+    lin: jnp.ndarray  # [B, V] int32 linearized zyx ids, SENTINEL pad, sorted
+    coords: jnp.ndarray  # [B, V, 3] int32 zyx, -1 pad
+    shape: Tuple[int, int, int]  # static (D, H, W)
+
+    @property
+    def sentinel(self):
+        d, h, w = self.shape
+        return d * h * w
+
+    @property
+    def valid(self):
+        return self.lin < self.sentinel
+
+    @property
+    def num_active(self):
+        return self.valid.sum(axis=-1)
+
+
+def linearize(coords, shape):
+    d, h, w = shape
+    return coords[..., 0] * (h * w) + coords[..., 1] * w + coords[..., 2]
+
+
+def from_voxel_coords(features, coords, shape):
+    """Build a SparseGrid from (possibly unsorted) coords [B, V, 3] zyx
+    with -1 padding rows."""
+    d, h, w = shape
+    sentinel = d * h * w
+    valid = coords[..., 0] >= 0
+    lin = jnp.where(valid, linearize(coords, shape), sentinel).astype(
+        jnp.int32)
+    order = jnp.argsort(lin, axis=-1, stable=True)
+    lin_s = jnp.take_along_axis(lin, order, axis=-1)
+    feats_s = jnp.take_along_axis(features, order[..., None], axis=-2)
+    coords_s = jnp.take_along_axis(coords, order[..., None], axis=-2)
+    coords_s = jnp.where(
+        (lin_s < sentinel)[..., None], coords_s, -1)
+    return SparseGrid(feats_s, lin_s, coords_s, tuple(int(v) for v in shape))
+
+
+def _kernel_offsets(kernel_size):
+    """[K, 3] zyx offsets in weight-layout order."""
+    kz, ky, kx = kernel_size
+    offs = np.stack(
+        [a.ravel() for a in np.meshgrid(
+            np.arange(kz), np.arange(ky), np.arange(kx), indexing="ij")],
+        axis=1,
+    )
+    return offs  # kernel index (not centered); caller applies padding
+
+
+def _lookup(lin_sorted, query_lin, query_valid, sentinel):
+    """Binary-search query ids in each row's sorted id array.
+
+    lin_sorted: [B, V]; query_lin/query_valid: [B, Q].
+    Returns slot [B, Q] int32 (V = miss/dump row), found [B, Q] bool.
+    """
+    v = lin_sorted.shape[-1]
+    q = jnp.where(query_valid, query_lin, sentinel)
+    idx = jax.vmap(
+        lambda row, qq: jnp.searchsorted(row, qq, side="left")
+    )(lin_sorted, q)
+    idx_c = jnp.minimum(idx, v - 1)
+    hit = jnp.take_along_axis(lin_sorted, idx_c, axis=-1) == q
+    found = hit & query_valid & (idx < v)
+    return jnp.where(found, idx_c, v).astype(jnp.int32), found
+
+
+def build_subm_rulebook(grid: SparseGrid, kernel_size):
+    """Neighbor slots for a submanifold conv on this active set.
+
+    Returns [B, V, K] int32 slots (V = missing neighbor).
+    Shared by every subm conv with the same kernel on this set
+    (spconv ``indice_key`` equivalence).
+    """
+    d, h, w = grid.shape
+    kz, ky, kx = kernel_size
+    pad = np.array([(kz - 1) // 2, (ky - 1) // 2, (kx - 1) // 2])
+    offs = _kernel_offsets(kernel_size) - pad  # centered offsets
+    b, v = grid.lin.shape
+    k = offs.shape[0]
+    ncoords = grid.coords[:, :, None, :] + jnp.asarray(
+        offs, jnp.int32)[None, None]  # [B, V, K, 3]
+    in_bounds = (
+        (ncoords >= 0).all(-1)
+        & (ncoords[..., 0] < d) & (ncoords[..., 1] < h) & (ncoords[..., 2] < w)
+        & grid.valid[..., None]
+    )
+    nlin = linearize(ncoords, grid.shape)
+    slots, found = _lookup(
+        grid.lin, nlin.reshape(b, v * k), in_bounds.reshape(b, v * k),
+        grid.sentinel)
+    return slots.reshape(b, v, k), found.reshape(b, v, k)
+
+
+def subm_conv(grid: SparseGrid, rulebook, weights, bias=None):
+    """Submanifold conv: output active set == input active set.
+
+    rulebook: (slots [B, V, K], found [B, V, K]) from
+    build_subm_rulebook. weights: [K, Cin, Cout].
+    """
+    slots, found = rulebook
+    b, v, k = slots.shape
+    cin = grid.features.shape[-1]
+    cout = weights.shape[-1]
+    feats_pad = jnp.concatenate(
+        [grid.features,
+         jnp.zeros((b, 1, cin), grid.features.dtype)], axis=1)
+    gathered = jnp.take_along_axis(
+        feats_pad, slots.reshape(b, v * k, 1), axis=1
+    ).reshape(b, v, k, cin)
+    gathered = jnp.where(found[..., None], gathered, 0.0)
+    out = jax.lax.dot_general(
+        gathered.reshape(b, v, k * cin),
+        weights.reshape(k * cin, cout),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(grid.features.dtype)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(grid.valid[..., None], out, 0.0)
+    return grid._replace(features=out)
+
+
+def downsample_active_set(grid: SparseGrid, kernel_size, stride, padding,
+                          out_capacity=None):
+    """Output active set of a strided sparse conv (spconv semantics:
+    every output position whose kernel window contains an active input).
+
+    Returns a new SparseGrid with zero features ([B, Vout, Cout-less])
+    plus its shape; feature computation happens in sparse_conv.
+    """
+    d, h, w = grid.shape
+    kz, ky, kx = kernel_size
+    sz, sy, sx = stride
+    pz, py, px = padding
+    out_shape = (
+        (d + 2 * pz - kz) // sz + 1,
+        (h + 2 * py - ky) // sy + 1,
+        (w + 2 * px - kx) // sx + 1,
+    )
+    b, v = grid.lin.shape
+    offs = _kernel_offsets(kernel_size)
+    k = offs.shape[0]
+    # candidate outputs o = (c + pad - k) / stride where divisible
+    num = grid.coords[:, :, None, :] + jnp.asarray(
+        [pz, py, px], jnp.int32) - jnp.asarray(offs, jnp.int32)[None, None]
+    sarr = jnp.asarray([sz, sy, sx], jnp.int32)
+    ocoords = num // sarr
+    divisible = (num == ocoords * sarr).all(-1)
+    in_bounds = (
+        (ocoords >= 0).all(-1)
+        & (ocoords[..., 0] < out_shape[0])
+        & (ocoords[..., 1] < out_shape[1])
+        & (ocoords[..., 2] < out_shape[2])
+        & grid.valid[..., None]
+        & divisible
+    )
+    out_sentinel = out_shape[0] * out_shape[1] * out_shape[2]
+    olin = jnp.where(
+        in_bounds, linearize(ocoords, out_shape), out_sentinel
+    ).reshape(b, v * k)
+    olin_sorted = jnp.sort(olin, axis=-1)
+    is_new = jnp.concatenate(
+        [jnp.ones((b, 1), bool),
+         olin_sorted[:, 1:] != olin_sorted[:, :-1]], axis=1
+    ) & (olin_sorted < out_sentinel)
+    vout = out_capacity or v
+    # rank unique ids; scatter first occurrence of each into [B, Vout]
+    rank = jnp.cumsum(is_new, axis=-1) - 1
+    rank = jnp.where(is_new & (rank < vout), rank, vout)
+    new_lin = jnp.full((b, vout + 1), out_sentinel, jnp.int32)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], rank.shape)
+    new_lin = new_lin.at[bidx, rank].set(
+        olin_sorted.astype(jnp.int32), mode="drop")[:, :-1]
+    # decode coords back from linear ids
+    hw = out_shape[1] * out_shape[2]
+    zz = new_lin // hw
+    yy = (new_lin % hw) // out_shape[2]
+    xx = new_lin % out_shape[2]
+    new_valid = new_lin < out_sentinel
+    new_coords = jnp.where(
+        new_valid[..., None],
+        jnp.stack([zz, yy, xx], axis=-1), -1).astype(jnp.int32)
+    return SparseGrid(
+        features=jnp.zeros((b, vout, 1), grid.features.dtype),
+        lin=new_lin,
+        coords=new_coords,
+        shape=tuple(int(s) for s in out_shape),
+    )
+
+
+def sparse_conv(grid: SparseGrid, out_grid: SparseGrid, weights,
+                kernel_size, stride, padding, bias=None):
+    """Strided sparse conv: compute features of out_grid from grid.
+
+    For each output o and kernel position k, input i = o*s - p + k.
+    weights: [K, Cin, Cout].
+    """
+    b, vout = out_grid.lin.shape
+    cin = grid.features.shape[-1]
+    cout = weights.shape[-1]
+    offs = _kernel_offsets(kernel_size)
+    k = offs.shape[0]
+    sarr = jnp.asarray(list(stride), jnp.int32)
+    parr = jnp.asarray(list(padding), jnp.int32)
+    icoords = (
+        out_grid.coords[:, :, None, :] * sarr - parr
+        + jnp.asarray(offs, jnp.int32)[None, None]
+    )  # [B, Vout, K, 3]
+    d, h, w = grid.shape
+    in_bounds = (
+        (icoords >= 0).all(-1)
+        & (icoords[..., 0] < d) & (icoords[..., 1] < h) & (icoords[..., 2] < w)
+        & out_grid.valid[..., None]
+    )
+    ilin = linearize(icoords, grid.shape)
+    slots, found = _lookup(
+        grid.lin, ilin.reshape(b, vout * k), in_bounds.reshape(b, vout * k),
+        grid.sentinel)
+    slots = slots.reshape(b, vout, k)
+    found = found.reshape(b, vout, k)
+    feats_pad = jnp.concatenate(
+        [grid.features, jnp.zeros((b, 1, cin), grid.features.dtype)], axis=1)
+    gathered = jnp.take_along_axis(
+        feats_pad, slots.reshape(b, vout * k, 1), axis=1
+    ).reshape(b, vout, k, cin)
+    gathered = jnp.where(found[..., None], gathered, 0.0)
+    out = jax.lax.dot_general(
+        gathered.reshape(b, vout, k * cin),
+        weights.reshape(k * cin, cout),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(grid.features.dtype)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(out_grid.valid[..., None], out, 0.0)
+    return out_grid._replace(features=out)
+
+
+def to_dense(grid: SparseGrid):
+    """[B, V, C] sparse -> [B, D, H, W, C] dense (zeros elsewhere)."""
+    b, v, c = grid.features.shape
+    d, h, w = grid.shape
+    flat = jnp.where(grid.valid, grid.lin, d * h * w)
+    out = jnp.zeros((b, d * h * w + 1, c), grid.features.dtype)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, v))
+    out = out.at[bidx, flat].set(
+        jnp.where(grid.valid[..., None], grid.features, 0.0), mode="drop")
+    return out[:, :-1].reshape(b, d, h, w, c)
