@@ -157,6 +157,9 @@ def rotated_iou_matrix(boxes1, boxes2, criterion=-1, xp=np):
         denom = area1
     elif criterion == 1:
         denom = area2
+    elif criterion == 2:
+        # raw intersection area (reference devRotateIoUEval ua=1 branch)
+        return inter
     else:
         raise ValueError(f"bad criterion {criterion}")
     return inter / xp.where(denom == 0, 1.0, denom)
