@@ -50,6 +50,7 @@ class VoxelGenerator:
         self._block_factor = block_factor
         self._block_size = block_size
         self._height_threshold = height_threshold
+        self._workspace = None  # native-kernel dense index grid, lazy
 
     @property
     def voxel_size(self):
@@ -90,6 +91,29 @@ class VoxelGenerator:
 
     # ------------------------------------------------------------------
     def _voxelize(self, points, max_voxels):
+        native = self._native_voxelize(points, max_voxels)
+        if native is not None:
+            return native
+        return self._voxelize_numpy(points, max_voxels)
+
+    def _native_voxelize(self, points, max_voxels):
+        """C++ FCFS kernel fast path (~20x the numpy fallback)."""
+        if self._full_mean or self._block_filtering:
+            return None  # these modes stay on the numpy path
+        from ..native import voxelize_native
+
+        if not voxelize_native.available():
+            return None
+        if self._workspace is None:
+            nx, ny, nz = (int(v) for v in self._grid_size)
+            self._workspace = np.full(nz * ny * nx, -1, np.int32)
+        voxels, coors, counts, n = voxelize_native.points_to_voxel(
+            points, self._voxel_size, self._point_cloud_range,
+            self._max_num_points, max_voxels,
+            tuple(int(v) for v in self._grid_size), self._workspace)
+        return voxels, coors, counts, n
+
+    def _voxelize_numpy(self, points, max_voxels):
         T = self._max_num_points
         nfeat = points.shape[1]
         vmin = self._point_cloud_range[:3]
