@@ -121,7 +121,16 @@ def build_network(config, measure_time=False):
     spec = build_model_spec(model_cfg, target_assigner)
 
     net_class = get_voxelnet_class(model_cfg.network_class_name)
+    extra = {}
+    if model_cfg.network_class_name == "VoxelNetNuscenesMultiHead":
+        extra = dict(
+            class_names=tuple(target_assigner.classes),
+            num_anchor_per_loc_by_class=tuple(
+                int(target_assigner.num_anchors_per_location_class(c))
+                for c in target_assigner.classes),
+        )
     net = net_class(
+        **extra,
         output_shape=tuple(dense_shape),
         num_class=spec.num_class,
         num_input_features=model_cfg.num_point_features,

@@ -69,6 +69,19 @@ def _convert_scalar(tok: str, typ, field: str):
     raise ConfigError(f"field {field!r}: unsupported scalar type {typ}")
 
 
+def _fmt_scalar(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, enum.IntEnum):
+        return v.name
+    if isinstance(v, str):
+        escaped = v.replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{escaped}"'
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
 class Message:
     """Base class; subclasses declare fields via class annotations."""
 
@@ -162,6 +175,50 @@ class Message:
 
     def HasField(self, name: str) -> bool:
         return getattr(self, name) is not None
+
+    # ---- text-format serialization ------------------------------------
+    def to_text(self, indent=0) -> str:
+        """Serialize back to protobuf text format (parseable by both this
+        parser and protobuf's text_format)."""
+        pad = "  " * indent
+        lines = []
+        hints = self._hints()
+        for name, typ in hints.items():
+            v = getattr(self, name)
+            origin = typing.get_origin(typ)
+            if v is None:
+                continue
+            if origin in (list, List):
+                (elem,) = typing.get_args(typ)
+                if not v:
+                    continue
+                if isinstance(elem, type) and issubclass(elem, Message):
+                    for item in v:
+                        lines.append(pad + name + " {")
+                        lines.append(item.to_text(indent + 1).rstrip("\n"))
+                        lines.append(pad + "}")
+                else:
+                    vals = ", ".join(_fmt_scalar(x) for x in v)
+                    lines.append(f"{pad}{name}: [{vals}]")
+            elif origin in (dict, Dict):
+                for key, val in v.items():
+                    lines.append(pad + name + " {")
+                    lines.append(f"{pad}  key: {_fmt_scalar(key)}")
+                    lines.append(f"{pad}  value: {_fmt_scalar(val)}")
+                    lines.append(pad + "}")
+            elif isinstance(v, Message):
+                body = v.to_text(indent + 1).rstrip("\n")
+                if not body and origin is not typing.Union:
+                    continue  # default singular message: omit
+                lines.append(pad + name + " {")
+                if body:
+                    lines.append(body)
+                lines.append(pad + "}")
+            else:
+                if v == self._default_for(typ) and origin is not typing.Union:
+                    continue  # proto3: omit default scalars
+                lines.append(f"{pad}{name}: {_fmt_scalar(v)}")
+        return "\n".join(lines) + ("\n" if lines else "")
 
     def __repr__(self):
         parts = []

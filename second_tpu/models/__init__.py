@@ -15,3 +15,4 @@ from . import middle  # noqa: F401,E402
 from . import sparse_middle  # noqa: F401,E402
 from . import rpn  # noqa: F401,E402
 from . import voxelnet  # noqa: F401,E402
+from . import multi_head  # noqa: F401,E402

@@ -1,0 +1,302 @@
+"""Train / evaluate entry points (the reference's
+second/pytorch/train.py CLI surface, TPU-native internals).
+
+    python -m second_tpu.train train --config_path=X --model_dir=Y
+    python -m second_tpu.train evaluate --config_path=X --model_dir=Y
+
+The train loop is ONE jitted SPMD program per step: batch sharded over
+the device mesh's ``data`` axis, parameters replicated, XLA all-reduce
+for gradients (vs the reference's DataParallel scatter/gather,
+train.py:203-306).  Checkpoints keep the upstream JSON-manifest layout;
+the config is snapshotted into model_dir as pipeline.config.
+"""
+
+import json
+import pickle
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..builders import build_network, dataset_builder
+from ..configs import load_pipeline_config
+from ..data.loader import DataLoader
+from . import checkpoint as ckpt_lib
+from . import optimizer as opt_builder
+from ..utils.log_tool import SimpleModelLog
+from .state import TrainState, make_eval_step, make_train_step
+
+
+def example_convert(example, dtype=np.float32):
+    """Select + cast the device-bound keys of a host batch."""
+    device_keys = {
+        "voxels": dtype,
+        "num_points": np.int32,
+        "coordinates": np.int32,
+        "anchors": dtype,
+        "labels": np.int32,
+        "reg_targets": dtype,
+        "importance": dtype,
+        "anchors_mask": bool,
+    }
+    out = {}
+    for k, t in device_keys.items():
+        if k in example:
+            out[k] = np.ascontiguousarray(example[k], dtype=t)
+    return out
+
+
+def _build_all(config_path, training_loader=True):
+    cfg = load_pipeline_config(config_path)
+    parts = build_network(cfg)
+    return cfg, parts
+
+
+def _restore_or_init(model_dir, net, tx, example, resume):
+    import jax
+
+    variables = net.init(
+        jax.random.PRNGKey(0), example["voxels"], example["num_points"],
+        example["coordinates"])
+    state = TrainState.create(variables, tx)
+    restored, step = ckpt_lib.try_restore_latest(model_dir, "voxelnet", state)
+    if step is not None:
+        print(f"Restored checkpoint at step {step}")
+        return restored
+    if not resume:
+        return state
+    return state
+
+
+def train(config_path,
+          model_dir,
+          result_path=None,
+          resume=False,
+          display_step=50,
+          pretrained_path=None,
+          measure_time=False,
+          batch_size=None,
+          num_workers=None):
+    """Train a detector with the given pipeline config."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import make_mesh, put_sharded
+
+    model_dir = Path(model_dir)
+    if model_dir.exists() and not resume and (
+            model_dir / "checkpoints.json").exists():
+        raise ValueError(
+            f"model dir {model_dir} exists and resume=False")
+    model_dir.mkdir(parents=True, exist_ok=True)
+    if result_path is None:
+        result_path = model_dir / "results"
+
+    cfg, parts = _build_all(config_path)
+    shutil.copyfile(config_path, model_dir / "pipeline.config")
+    net, spec = parts["net"], parts["spec"]
+    train_cfg = cfg.train_config
+
+    dataset = dataset_builder.build(
+        cfg.train_input_reader, parts["model_cfg"], training=True,
+        voxel_generator=parts["voxel_generator"],
+        target_assigner=parts["target_assigner"],
+        anchor_cache=parts["anchor_cache"])
+    eval_dataset = dataset_builder.build(
+        cfg.eval_input_reader, parts["model_cfg"], training=False,
+        voxel_generator=parts["voxel_generator"],
+        target_assigner=parts["target_assigner"],
+        anchor_cache=parts["anchor_cache"])
+
+    batch_size = batch_size or cfg.train_input_reader.batch_size
+    num_workers = (
+        num_workers
+        if num_workers is not None
+        else cfg.train_input_reader.preprocess.num_workers)
+    devices = jax.devices()
+    n_dev = len(devices)
+    if batch_size % n_dev != 0:
+        batch_size = max(n_dev, batch_size - batch_size % n_dev)
+        print(f"adjusted batch_size to {batch_size} for {n_dev} devices")
+    mesh = make_mesh(devices)
+
+    total_step = train_cfg.steps
+    tx, lr_fn, _ = opt_builder.build(train_cfg.optimizer, total_step)
+    loader = DataLoader(
+        dataset, batch_size, shuffle=True, num_workers=num_workers)
+
+    log = SimpleModelLog(model_dir).open()
+    log.log_text(
+        f"second_tpu train: {len(dataset)} frames, batch={batch_size}, "
+        f"devices={n_dev}, steps={total_step}", 0)
+
+    first_batch = example_convert(next(iter(loader)))
+    state = _restore_or_init(model_dir, net, tx, first_batch, resume)
+    step_fn = make_train_step(net, spec, tx, mesh=mesh)
+
+    start_step = int(state.global_step)
+    step = start_step
+    last_ckpt_time = time.time()
+    t_step = time.time()
+    try:
+        while step < total_step:
+            for example in loader:
+                if step >= total_step:
+                    break
+                ex = put_sharded(
+                    {k: jnp.asarray(v)
+                     for k, v in example_convert(example).items()}, mesh)
+                state, metrics = step_fn(state, ex)
+                step += 1
+                if step % display_step == 0 or step == 1:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["lr"] = float(lr_fn(step))
+                    m["steps_per_sec"] = display_step / max(
+                        time.time() - t_step, 1e-6)
+                    t_step = time.time()
+                    log.log_metrics({"runtime": m}, step)
+                if time.time() - last_ckpt_time > train_cfg.save_checkpoints_secs:
+                    ckpt_lib.save(model_dir, state, "voxelnet", step)
+                    last_ckpt_time = time.time()
+                if train_cfg.steps_per_eval > 0 and \
+                        step % train_cfg.steps_per_eval == 0:
+                    ckpt_lib.save(model_dir, state, "voxelnet", step)
+                    res = _run_eval(
+                        net, spec, state, eval_dataset, batch_size,
+                        num_workers, mesh, Path(result_path) / f"step_{step}")
+                    if res is not None:
+                        log.log_text(res["results"]["official"], step)
+    except Exception:
+        ckpt_lib.save(model_dir, state, "voxelnet", step)
+        raise
+    ckpt_lib.save(model_dir, state, "voxelnet", step)
+    res = _run_eval(net, spec, state, eval_dataset, batch_size, num_workers,
+                    mesh, Path(result_path) / "final")
+    if res is not None:
+        log.log_text(res["results"]["official"], step)
+        log.log_text(res["results"]["coco"], step)
+    log.close()
+    return str(model_dir)
+
+
+def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
+              result_dir):
+    """Eval loop: fixed-shape batches, ragged detections, official AP."""
+    import jax.numpy as jnp
+
+    from ..parallel import put_sharded
+
+    eval_step = make_eval_step(net, spec, mesh=mesh)
+    loader = DataLoader(
+        eval_dataset, batch_size, shuffle=False,
+        num_workers=num_workers, drop_last=False)
+    detections = []
+    t0 = time.time()
+    for example in loader:
+        ex_np = example_convert(example)
+        real = ex_np["voxels"].shape[0]
+        if real < batch_size:  # pad the tail batch
+            pad = batch_size - real
+            ex_np = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in ex_np.items()
+            }
+        ex = put_sharded(
+            {k: jnp.asarray(v) for k, v in ex_np.items()}, mesh)
+        dets = eval_step(state, ex)
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        for b in range(real):
+            valid = dets["valid"][b]
+            detections.append({
+                "box3d_lidar": dets["box3d_lidar"][b][valid],
+                "scores": dets["scores"][b][valid],
+                "label_preds": dets["label_preds"][b][valid],
+                "metadata": example["metadata"][b],
+            })
+    dt = time.time() - t0
+    n = len(detections)
+    print(f"eval: {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)")
+    result_dir = Path(result_dir)
+    result_dir.mkdir(parents=True, exist_ok=True)
+    with open(result_dir / "result.pkl", "wb") as f:
+        pickle.dump(detections, f)
+    res = eval_dataset.evaluation(detections, str(result_dir))
+    return res
+
+
+def evaluate(config_path,
+             model_dir,
+             result_path=None,
+             ckpt_path=None,
+             measure_time=False,
+             batch_size=None,
+             num_workers=None):
+    """Evaluate the latest (or given) checkpoint with the official AP."""
+    import jax
+
+    from ..parallel import make_mesh
+
+    model_dir = Path(model_dir)
+    cfg, parts = _build_all(config_path)
+    net, spec = parts["net"], parts["spec"]
+    eval_dataset = dataset_builder.build(
+        cfg.eval_input_reader, parts["model_cfg"], training=False,
+        voxel_generator=parts["voxel_generator"],
+        target_assigner=parts["target_assigner"],
+        anchor_cache=parts["anchor_cache"])
+    batch_size = batch_size or cfg.eval_input_reader.batch_size
+    num_workers = (
+        num_workers
+        if num_workers is not None
+        else cfg.eval_input_reader.preprocess.num_workers)
+    devices = jax.devices()
+    if batch_size % len(devices) != 0:
+        batch_size = max(len(devices), batch_size - batch_size % len(devices))
+    mesh = make_mesh(devices)
+
+    example = example_convert(eval_dataset[0])
+    example = {k: v[None] for k, v in example.items()}
+    tx, _, _ = opt_builder.build(
+        cfg.train_config.optimizer, cfg.train_config.steps)
+    variables = net.init(
+        jax.random.PRNGKey(0), example["voxels"], example["num_points"],
+        example["coordinates"])
+    state = TrainState.create(variables, tx)
+    if ckpt_path is not None:
+        state = ckpt_lib.restore(ckpt_path, state)
+        step = "custom"
+    else:
+        state, step = ckpt_lib.try_restore_latest(
+            model_dir, "voxelnet", state)
+        if step is None:
+            raise ValueError(f"no checkpoint found in {model_dir}")
+    if result_path is None:
+        result_path = model_dir / "eval_results" / f"step_{step}"
+    res = _run_eval(net, spec, state, eval_dataset, batch_size, num_workers,
+                    mesh, result_path)
+    if res is not None:
+        print(res["results"]["official"])
+        print(res["results"]["coco"])
+        with open(Path(result_path) / "metrics.json", "w") as f:
+            json.dump(res["detail"], f, indent=2, default=str)
+    return res
+
+
+def main():
+    import os
+
+    from ..utils.fire_lite import fire
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # explicitly so CPU runs are possible
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    fire({"train": train, "evaluate": evaluate})
+
+
+if __name__ == "__main__":
+    main()
