@@ -32,13 +32,13 @@ def main():
     anchors = parts["anchor_cache"]["anchors"].astype(np.float32)
     A = anchors.shape[0]
 
-    N_POINTS = 131072
+    N_POINTS = 32768  # sized for KITTI velodyne_reduced clouds (~18k pts)
     MAX_VOXELS = 12000
     T = gen.max_num_points_per_voxel
     grid = tuple(int(v) for v in gen.grid_size)
 
     rng = np.random.RandomState(0)
-    points, _, _ = make_scene(rng, num_objects=12, num_bg_points=100000,
+    points, _, _ = make_scene(rng, num_objects=12, num_bg_points=24000,
                               points_per_object=300)
     buf = np.zeros((N_POINTS, 4), np.float32)
     n = min(len(points), N_POINTS)
@@ -68,13 +68,15 @@ def main():
 
     pts_j = jnp.asarray(buf)
     dets = e2e(variables, pts_j, n)
-    jax.block_until_ready(dets)
+    # NOTE: block_until_ready is unreliable on the tunneled TPU backend;
+    # a host transfer is the only honest sync
+    _ = np.asarray(dets["scores"])
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         dets = e2e(variables, pts_j, n)
-    jax.block_until_ready(dets)
+    _ = np.asarray(dets["scores"])
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 

@@ -33,10 +33,11 @@ class PointPillarsScatter(nn.Module):
         b, v, c = features.shape
         valid = coords[..., 0] >= 0
         flat = coords[..., 1] * nx + coords[..., 2]  # y * nx + x
-        flat = jnp.where(valid, flat, ny * nx)  # dump slot
-        canvas = jnp.zeros((b, ny * nx + 1, c), features.dtype)
+        # padding rows get UNIQUE out-of-bounds slots (a shared dump slot
+        # makes the TPU scatter serialize on duplicate indices)
+        flat = jnp.where(valid, flat, ny * nx + jnp.arange(v)[None, :])
+        canvas = jnp.zeros((b, ny * nx, c), features.dtype)
         bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, v))
         canvas = canvas.at[bidx, flat].set(
-            jnp.where(valid[..., None], features, 0.0), mode="drop"
-        )
-        return canvas[:, :-1].reshape(b, ny, nx, c)
+            features, mode="drop", unique_indices=True)
+        return canvas.reshape(b, ny, nx, c)

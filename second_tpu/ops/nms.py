@@ -60,15 +60,14 @@ def _greedy_suppress(iou, valid, iou_threshold):
 
     def body(i, state):
         alive, keep = state
-        take = alive[i] & valid[i]
+        take = alive[i]
         keep = keep.at[i].set(take)
         alive = alive & ~(take & suppress[i])
         alive = alive.at[i].set(False)
         return alive, keep
 
-    alive0 = jnp.ones((n,), dtype=bool)
     keep0 = jnp.zeros((n,), dtype=bool)
-    _, keep = jax.lax.fori_loop(0, n, body, (alive0, keep0))
+    _, keep = jax.lax.fori_loop(0, n, body, (valid, keep0))
     return keep
 
 

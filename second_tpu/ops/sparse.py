@@ -204,13 +204,17 @@ def downsample_active_set(grid: SparseGrid, kernel_size, stride, padding,
          olin_sorted[:, 1:] != olin_sorted[:, :-1]], axis=1
     ) & (olin_sorted < out_sentinel)
     vout = out_capacity or v
-    # rank unique ids; scatter first occurrence of each into [B, Vout]
+    # rank unique ids; scatter first occurrence of each into [B, Vout].
+    # non-new / overflow entries get UNIQUE OOB indices (shared dump
+    # index would serialize the TPU scatter on duplicates)
+    pos = jnp.broadcast_to(
+        jnp.arange(olin_sorted.shape[-1])[None, :], olin_sorted.shape)
     rank = jnp.cumsum(is_new, axis=-1) - 1
-    rank = jnp.where(is_new & (rank < vout), rank, vout)
-    new_lin = jnp.full((b, vout + 1), out_sentinel, jnp.int32)
+    rank = jnp.where(is_new & (rank < vout), rank, vout + pos)
+    new_lin = jnp.full((b, vout), out_sentinel, jnp.int32)
     bidx = jnp.broadcast_to(jnp.arange(b)[:, None], rank.shape)
     new_lin = new_lin.at[bidx, rank].set(
-        olin_sorted.astype(jnp.int32), mode="drop")[:, :-1]
+        olin_sorted.astype(jnp.int32), mode="drop", unique_indices=True)
     # decode coords back from linear ids
     hw = out_shape[1] * out_shape[2]
     zz = new_lin // hw
@@ -280,9 +284,11 @@ def to_dense(grid: SparseGrid):
     """[B, V, C] sparse -> [B, D, H, W, C] dense (zeros elsewhere)."""
     b, v, c = grid.features.shape
     d, h, w = grid.shape
-    flat = jnp.where(grid.valid, grid.lin, d * h * w)
-    out = jnp.zeros((b, d * h * w + 1, c), grid.features.dtype)
+    # unique OOB indices for padding rows (duplicates serialize scatter)
+    flat = jnp.where(
+        grid.valid, grid.lin, d * h * w + jnp.arange(v)[None, :])
+    out = jnp.zeros((b, d * h * w, c), grid.features.dtype)
     bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, v))
     out = out.at[bidx, flat].set(
-        jnp.where(grid.valid[..., None], grid.features, 0.0), mode="drop")
-    return out[:, :-1].reshape(b, d, h, w, c)
+        grid.features, mode="drop", unique_indices=True)
+    return out.reshape(b, d, h, w, c)

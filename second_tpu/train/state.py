@@ -74,6 +74,11 @@ def make_train_step(net, spec, tx, mesh=None):
         }
         if "dir_loss_reduced" in res:
             metrics["dir_loss"] = res["dir_loss_reduced"]
+        from ..utils.metrics import classification_metrics
+
+        metrics["cls_stats"] = classification_metrics(
+            res["cls_preds"], example["labels"],
+            encode_background_as_zeros=spec.encode_background_as_zeros)
         return new_state, metrics
 
     if mesh is None:
