@@ -93,10 +93,17 @@ def build_model_spec(model_cfg: schema.VoxelNet, target_assigner):
     )
 
 
-def build_network(config, measure_time=False):
-    """pipeline config (or model.second config) -> dict of parts."""
+def build_network(config, measure_time=False, compute_dtype=None):
+    """pipeline config (or model.second config) -> dict of parts.
+
+    compute_dtype: None (f32) or "bfloat16"; defaults to bfloat16 when a
+    full pipeline config sets train_config.enable_mixed_precision (the
+    TPU-native stand-in for the reference's apex fp16, train.py:216-227).
+    """
     if isinstance(config, schema.TrainEvalPipelineConfig):
         model_cfg = config.model.second
+        if compute_dtype is None and config.train_config.enable_mixed_precision:
+            compute_dtype = "bfloat16"
     else:
         model_cfg = config
     voxel_generator = voxel_builder.build(model_cfg.voxel_generator)
@@ -160,6 +167,7 @@ def build_network(config, measure_time=False):
         box_code_size=spec.box_code_size,
         voxel_size=tuple(voxel_generator.voxel_size.tolist()),
         pc_range=tuple(voxel_generator.point_cloud_range.tolist()),
+        compute_dtype=compute_dtype,
     )
     return {
         "net": net,

@@ -80,10 +80,14 @@ class LinearBNReLU(nn.Module):
     features: int
     use_norm: bool = True
     relu: bool = True
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
-        x = nn.Dense(self.features, use_bias=not self.use_norm)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Dense(self.features, use_bias=not self.use_norm,
+                     dtype=self.dtype)(x)
         if self.use_norm:
             x = MaskedBatchNorm()(x, mask=mask, use_running_average=not train)
         if self.relu:

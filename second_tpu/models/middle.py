@@ -26,6 +26,7 @@ class PointPillarsScatter(nn.Module):
     use_norm: bool = True
     num_filters_down1: tuple = ()
     num_filters_down2: tuple = ()
+    compute_dtype: str = None  # scatter is dtype-agnostic; parity field
 
     @nn.compact
     def __call__(self, features, coords, train=False):

@@ -28,6 +28,7 @@ class ConvBNReLU(nn.Module):
     use_groupnorm: bool = False
     num_groups: int = 32
     transpose: bool = False
+    dtype: str = None  # compute dtype for the conv (e.g. bfloat16)
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -38,6 +39,7 @@ class ConvBNReLU(nn.Module):
                 strides=(self.stride, self.stride),
                 padding="VALID",
                 use_bias=not self.use_norm,
+                dtype=self.dtype,
             )(x)
         else:
             pad = (self.kernel - 1) // 2
@@ -47,6 +49,7 @@ class ConvBNReLU(nn.Module):
                 strides=(self.stride, self.stride),
                 padding=((pad, pad), (pad, pad)),
                 use_bias=not self.use_norm,
+                dtype=self.dtype,
             )(x)
         if self.use_norm:
             if self.use_groupnorm:
@@ -74,6 +77,7 @@ class RPNNoHeadBase(nn.Module):
     num_groups: int = 32
     box_code_size: int = 7
     num_direction_bins: int = 2
+    compute_dtype: str = None
 
     @property
     def upsample_start_idx(self):
@@ -86,6 +90,8 @@ class RPNNoHeadBase(nn.Module):
         return sum(self.num_upsample_filters)
 
     def _backbone(self, x, train):
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         assert len(self.layer_strides) == len(self.layer_nums)
         assert len(self.num_filters) == len(self.layer_nums)
         assert len(self.num_upsample_filters) == len(self.upsample_strides)
@@ -101,11 +107,13 @@ class RPNNoHeadBase(nn.Module):
             x = ConvBNReLU(
                 self.num_filters[i], 3, self.layer_strides[i], self.use_norm,
                 self.use_groupnorm, self.num_groups,
+                dtype=self.compute_dtype,
             )(x, train)
             for _ in range(layer_num):
                 x = ConvBNReLU(
                     self.num_filters[i], 3, 1, self.use_norm,
                     self.use_groupnorm, self.num_groups,
+                    dtype=self.compute_dtype,
                 )(x, train)
             stage_outputs.append(x)
             if i - start >= 0:
@@ -116,12 +124,13 @@ class RPNNoHeadBase(nn.Module):
                     up = ConvBNReLU(
                         nf, s, s, self.use_norm, self.use_groupnorm,
                         self.num_groups, transpose=True,
+                        dtype=self.compute_dtype,
                     )(x, train)
                 else:
                     s = int(np.round(1 / stride))
                     up = ConvBNReLU(
                         nf, s, s, self.use_norm, self.use_groupnorm,
-                        self.num_groups,
+                        self.num_groups, dtype=self.compute_dtype,
                     )(x, train)
                 ups.append(up)
 
@@ -151,7 +160,7 @@ class RPNBase(RPNNoHeadBase):
     @nn.compact
     def __call__(self, x, train=False):
         res = self._backbone(x, train)
-        x = res["out"]
+        x = res["out"].astype(jnp.float32)
         nloc = self.num_anchor_per_loc
         if self.encode_background_as_zeros:
             num_cls = nloc * self.num_class

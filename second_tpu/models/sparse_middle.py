@@ -64,12 +64,21 @@ class SparseMiddleBase(nn.Module):
     num_filters_down1: Sequence[int] = (64,)
     num_filters_down2: Sequence[int] = (64, 64)
     topology: Tuple = FHD_TOPOLOGY
+    compute_dtype: str = None
+    # static active-set capacity multiplier per downsample stage: each
+    # stride-2 stage merges voxels so the true active count shrinks
+    # (~0.6x on KITTI); shrinking the static capacity shrinks every
+    # downstream gather/GEMM. Sized with headroom; overflowing voxels
+    # (beyond capacity, sorted by linear id) would be dropped.
+    capacity_factors: Tuple = (0.8, 0.7, 0.65, 0.6)
 
     @nn.compact
     def __call__(self, voxel_features, coords, train=False):
         nz, ny, nx = (int(v) for v in self.output_shape[1:4])
         # spconv pads z by 1 (middle.py:140: sparse_shape = grid + [1,0,0])
         sparse_shape = (nz + 1, ny, nx)
+        if self.compute_dtype is not None:
+            voxel_features = voxel_features.astype(self.compute_dtype)
         grid = sparse.from_voxel_coords(
             voxel_features, coords, sparse_shape)
 
@@ -77,6 +86,7 @@ class SparseMiddleBase(nn.Module):
         rulebook_kernel = None
         cin = self.num_input_features
         li = 0
+        down_idx = 0
         for op in self.topology:
             if op[0] == "subm":
                 _, cout, kernel = op
@@ -93,12 +103,20 @@ class SparseMiddleBase(nn.Module):
                 bias = (
                     None if self.use_norm else self.param(
                         f"subm{li}_b", nn.initializers.zeros, (cout,)))
+                if self.compute_dtype is not None:
+                    w = w.astype(self.compute_dtype)
                 grid = sparse.subm_conv(grid, rulebook, w, bias)
             else:
                 _, cout, kernel, stride, pad = op
                 kernel, stride, pad = _t3(kernel), _t3(stride), _t3(pad)
+                factor = (
+                    self.capacity_factors[down_idx]
+                    if down_idx < len(self.capacity_factors) else 1.0)
+                cur_cap = grid.lin.shape[-1]
+                out_cap = max(int(-(-cur_cap * factor // 8)) * 8, 64)
+                down_idx += 1
                 out_grid = sparse.downsample_active_set(
-                    grid, kernel, stride, pad)
+                    grid, kernel, stride, pad, out_capacity=out_cap)
                 k = int(np.prod(kernel))
                 w = self.param(
                     f"down{li}_w",
@@ -108,6 +126,8 @@ class SparseMiddleBase(nn.Module):
                 bias = (
                     None if self.use_norm else self.param(
                         f"down{li}_b", nn.initializers.zeros, (cout,)))
+                if self.compute_dtype is not None:
+                    w = w.astype(self.compute_dtype)
                 grid = sparse.sparse_conv(
                     grid, out_grid, w, kernel, stride, pad, bias)
                 rulebook = None

@@ -118,6 +118,7 @@ class VoxelNet(nn.Module):
     box_code_size: int = 7
     voxel_size: Sequence[float] = (0.2, 0.2, 4)
     pc_range: Sequence[float] = (0, -40, -3, 70.4, 40, 1)
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
 
     def setup(self):
         self.voxel_feature_extractor = get_vfe_class(self.vfe_class_name)(
@@ -136,6 +137,7 @@ class VoxelNet(nn.Module):
             num_input_features=self.middle_num_input_features,
             num_filters_down1=tuple(self.middle_num_filters_d1),
             num_filters_down2=tuple(self.middle_num_filters_d2),
+            compute_dtype=self.compute_dtype,
         )
         self.rpn = get_rpn_class(self.rpn_class_name)(
             use_norm=self.use_norm,
@@ -153,6 +155,7 @@ class VoxelNet(nn.Module):
             num_groups=self.num_groups,
             box_code_size=self.box_code_size,
             num_direction_bins=self.num_direction_bins,
+            compute_dtype=self.compute_dtype,
         )
 
     def __call__(self, voxels, num_points, coords, train=False):

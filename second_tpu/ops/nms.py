@@ -38,7 +38,15 @@ def _standup_iou(boxes_standup):
 
 
 def _rotated_iou_pairwise(boxes):
-    """Pairwise rotated IoU of [N, 5] (x, y, w, l, r) boxes."""
+    """Pairwise rotated IoU of [N, 5] (x, y, w, l, r) boxes.
+
+    Uses the tiled Pallas kernel on TPU (whole clipping pipeline in
+    VMEM); falls back to the fused jnp formulation elsewhere.
+    """
+    from . import pallas_iou
+
+    if pallas_iou.available():
+        return pallas_iou.rotated_iou_matrix_pallas(boxes, boxes)
     corners = box_to_corners(boxes, xp=jnp)  # [N, 4, 2]
     n = boxes.shape[0]
     c1 = jnp.broadcast_to(corners[:, None], (n, n, 4, 2))
@@ -67,7 +75,9 @@ def _greedy_suppress(iou, valid, iou_threshold):
         return alive, keep
 
     keep0 = jnp.zeros((n,), dtype=bool)
-    _, keep = jax.lax.fori_loop(0, n, body, (valid, keep0))
+    # unrolling amortizes TPU loop-dispatch overhead over the inherently
+    # sequential scan (~4x faster at n=1000)
+    _, keep = jax.lax.fori_loop(0, n, body, (valid, keep0), unroll=8)
     return keep
 
 
