@@ -30,7 +30,10 @@ def _build_classification(cfg: schema.ClassificationLoss):
         return functools.partial(
             L.weighted_softmax_loss, logit_scale=c.logit_scale or 1.0)
     if which == "bootstrapped_sigmoid":
-        raise NotImplementedError("bootstrapped sigmoid loss not ported")
+        c = cfg.bootstrapped_sigmoid
+        return functools.partial(
+            L.bootstrapped_sigmoid_loss, alpha=c.alpha,
+            hard_bootstrap=c.hard_bootstrap)
     if which == "weighted_ghm":
         raise NotImplementedError(
             "GHM loss is flagged broken upstream (ghm_loss.py:1-3)")

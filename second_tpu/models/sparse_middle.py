@@ -54,6 +54,42 @@ FHD_LITE_TOPOLOGY = (
     ("down", 64, (3, 1, 1), (2, 1, 1), 0),
 )
 
+# taller-z (HRZ) variants: 5 downsamples (middle.py:485-642)
+FHD_LITE_HRZ_TOPOLOGY = (
+    ("down", 32, 3, 2, 1),
+    ("down", 64, 3, 2, 1),
+    ("down", 64, 3, 2, 1),
+    ("down", 64, (3, 1, 1), (2, 1, 1), 0),
+    ("down", 64, (3, 1, 1), (2, 1, 1), 0),
+)
+
+FHD_HRZ_TOPOLOGY = (
+    ("subm", 16, 3), ("subm", 16, 3),
+    ("down", 32, 3, 2, 1),
+    ("subm", 32, 3), ("subm", 32, 3),
+    ("down", 64, 3, 2, 1),
+    ("subm", 64, 3), ("subm", 64, 3),
+    ("down", 64, 3, 2, 1),
+    ("subm", 64, 3), ("subm", 64, 3),
+    ("down", 64, (3, 1, 1), (2, 1, 1), 0),
+    ("subm", 64, 3), ("subm", 64, 3),
+    ("down", 64, (3, 1, 1), (2, 1, 1), 0),
+)
+
+# 2k-resolution variant: extra 8-channel stage up front (middle.py:301-415)
+MIDDLE_2K_TOPOLOGY = (
+    ("subm", 8, 3), ("subm", 8, 3),
+    ("down", 16, 3, 2, 1),
+    ("subm", 16, 3), ("subm", 16, 3),
+    ("down", 32, 3, 2, 1),
+    ("subm", 32, 3), ("subm", 32, 3),
+    ("down", 64, 3, 2, 1),
+    ("subm", 64, 3), ("subm", 64, 3), ("subm", 64, 3),
+    ("down", 64, 3, 2, (0, 1, 1)),
+    ("subm", 64, 3), ("subm", 64, 3), ("subm", 64, 3),
+    ("down", 64, (3, 1, 1), (2, 1, 1), 0),
+)
+
 
 class SparseMiddleBase(nn.Module):
     """Shared engine; subclasses set ``topology``."""
@@ -171,3 +207,28 @@ class SpMiddleFHDLite(SparseMiddleBase):
     """Downsample-only lite variant (middle.py:417-485)."""
 
     topology: Tuple = FHD_LITE_TOPOLOGY
+
+
+@register_middle
+class SpMiddleFHDLiteHRZ(SparseMiddleBase):
+    """Downsample-only, taller-z grid (middle.py:485-553)."""
+
+    topology: Tuple = FHD_LITE_HRZ_TOPOLOGY
+    capacity_factors: Tuple = (0.8, 0.7, 0.65, 0.6, 0.6)
+
+
+@register_middle
+class SpMiddleFHDHRZ(SparseMiddleBase):
+    """FHD with 5 downsample stages for taller z (middle.py:554-642)."""
+
+    topology: Tuple = FHD_HRZ_TOPOLOGY
+    capacity_factors: Tuple = (0.8, 0.7, 0.65, 0.6, 0.6)
+
+
+@register_middle
+class SpMiddle2K(SparseMiddleBase):
+    """2k-resolution middle with an 8-channel full-res stage
+    (middle.py:301-415)."""
+
+    topology: Tuple = MIDDLE_2K_TOPOLOGY
+    capacity_factors: Tuple = (0.8, 0.8, 0.7, 0.65, 0.6)

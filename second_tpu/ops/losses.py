@@ -96,6 +96,23 @@ def softmax_focal_loss(preds, targets_onehot, weights=None, gamma=2.0, alpha=0.2
     return loss
 
 
+def bootstrapped_sigmoid_loss(preds, targets_onehot, weights=None,
+                              alpha=0.5, hard_bootstrap=False):
+    """Bootstrapped sigmoid CE (Reed et al. 2015; reference
+    losses.py:395-452): targets are a convex mix of labels and the
+    model's own (hard or soft) predictions."""
+    probs = jax.nn.sigmoid(preds)
+    if hard_bootstrap:
+        boot = (probs > 0.5).astype(preds.dtype)
+    else:
+        boot = probs
+    mixed = alpha * targets_onehot + (1 - alpha) * boot
+    loss = sigmoid_cross_entropy_with_logits(preds, mixed)
+    if weights is not None:
+        loss = loss * weights[..., None]
+    return loss
+
+
 def weighted_sigmoid_loss(preds, targets_onehot, weights=None):
     loss = sigmoid_cross_entropy_with_logits(preds, targets_onehot)
     if weights is not None:

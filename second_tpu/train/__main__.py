@@ -75,6 +75,10 @@ def train(config_path,
           resume=False,
           display_step=50,
           pretrained_path=None,
+          pretrained_include=None,
+          pretrained_exclude=None,
+          freeze_include=None,
+          freeze_exclude=None,
           measure_time=False,
           batch_size=None,
           num_workers=None):
@@ -133,8 +137,23 @@ def train(config_path,
 
     first_batch = example_convert(next(iter(loader)))
     state = _restore_or_init(model_dir, net, tx, first_batch, resume)
+    if pretrained_path is not None:
+        new_params = ckpt_lib.restore_pretrained(
+            pretrained_path, state.params,
+            include=pretrained_include, exclude=pretrained_exclude)
+        state = state.replace(params=new_params)
+    if freeze_include is not None or freeze_exclude is not None:
+        from .optimizer import freeze_by_patterns
+
+        tx = freeze_by_patterns(
+            tx, state.params, include=freeze_include, exclude=freeze_exclude)
+        state = state.replace(opt_state=tx.init(state.params))
     step_fn = make_train_step(net, spec, tx, mesh=mesh)
 
+    from ..utils.metrics import RunningMetrics
+
+    running = RunningMetrics()
+    steps_per_epoch = max(len(loader), 1)
     start_step = int(state.global_step)
     step = start_step
     last_ckpt_time = time.time()
@@ -149,8 +168,16 @@ def train(config_path,
                      for k, v in example_convert(example).items()}, mesh)
                 state, metrics = step_fn(state, ex)
                 step += 1
+                cls_stats = metrics.pop("cls_stats", None)
+                if cls_stats is not None:
+                    running.update(
+                        {k: np.asarray(v) for k, v in cls_stats.items()})
+                if train_cfg.clear_metrics_every_epoch and \
+                        step % steps_per_epoch == 0:
+                    running.clear()
                 if step % display_step == 0 or step == 1:
                     m = {k: float(v) for k, v in metrics.items()}
+                    m.update(running.value())
                     m["lr"] = float(lr_fn(step))
                     m["steps_per_sec"] = display_step / max(
                         time.time() - t_step, 1e-6)
@@ -283,6 +310,34 @@ def evaluate(config_path,
     return res
 
 
+def helper_tune_target_assigner(config_path, num_tune_epoch=1,
+                                classes=None):
+    """Run the train pipeline standalone and report anchor-assignment
+    statistics per class (reference train.py:547-640)."""
+    cfg, parts = _build_all(config_path)
+    target_assigner = parts["target_assigner"]
+    dataset = dataset_builder.build(
+        cfg.train_input_reader, parts["model_cfg"], training=True,
+        voxel_generator=parts["voxel_generator"],
+        target_assigner=target_assigner,
+        anchor_cache=parts["anchor_cache"])
+    class_count = {c: 0 for c in target_assigner.classes}
+    anchor_count = {c: 0 for c in target_assigner.classes}
+    n = len(dataset) * num_tune_epoch
+    for i in range(n):
+        example = dataset[i % len(dataset)]
+        labels = example["labels"]
+        for ci, c in enumerate(target_assigner.classes):
+            class_count[c] += int(
+                np.sum(np.array(example["gt_names"]) == c))
+            anchor_count[c] += int(np.sum(labels == ci + 1))
+    for c in target_assigner.classes:
+        avg = anchor_count[c] / max(class_count[c], 1)
+        print(f"{c}: {class_count[c]} gt, {anchor_count[c]} assigned "
+              f"anchors ({avg:.1f} per gt)")
+    return class_count, anchor_count
+
+
 def main():
     import os
 
@@ -295,7 +350,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", plat)
-    fire({"train": train, "evaluate": evaluate})
+    fire({
+        "train": train,
+        "evaluate": evaluate,
+        "helper_tune_target_assigner": helper_tune_target_assigner,
+    })
 
 
 if __name__ == "__main__":

@@ -79,3 +79,68 @@ def try_restore_latest(model_dir, name, state_template):
     state = restore(path, state_template)
     step = int(Path(path).stem.split("-")[-1])
     return state, step
+
+
+# ---------------------------------------------------------------------------
+# pretrained partial load (reference second/pytorch/train.py:94-127)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = v
+    return out
+
+
+def _set_path(tree, path, value):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node[k]
+    node[keys[-1]] = value
+
+
+def restore_pretrained(ckpt_path, params, include=None, exclude=None,
+                       verbose=True):
+    """Copy shape-matching params from a checkpoint into ``params``.
+
+    include/exclude: regex on the "/"-joined parameter path. Same
+    filter-and-shape-match semantics as the reference's pretrained-path
+    loading (train.py:187-202).
+    """
+    import re
+
+    import jax
+    from flax import serialization
+
+    with open(ckpt_path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    src = raw.get("params", raw)
+    flat_src = _flatten(src)
+    include_re = re.compile(include) if include else None
+    exclude_re = re.compile(exclude) if exclude else None
+    target = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    target = serialization.to_state_dict(target)
+    flat_dst = _flatten(target)
+    loaded = []
+    for path, val in flat_src.items():
+        if path not in flat_dst:
+            continue
+        if include_re is not None and include_re.match(path) is None:
+            continue
+        if exclude_re is not None and exclude_re.match(path) is not None:
+            continue
+        if tuple(flat_dst[path].shape) != tuple(val.shape):
+            continue
+        _set_path(target, path, val)
+        loaded.append(path)
+    if verbose:
+        print(f"Restored {len(loaded)} pretrained tensors")
+        for p_ in loaded:
+            print("  ", p_)
+    return serialization.from_state_dict(params, target)

@@ -85,3 +85,27 @@ def build(optimizer_config: schema.Optimizer, total_step):
         return make(lr=lr_fn, mom=mom_fn), lr_fn, mom_fn
 
     raise ValueError("empty optimizer config")
+
+
+def freeze_by_patterns(tx, params, include=None, exclude=None):
+    """Wrap ``tx`` so params matching the regex filters get zero updates
+    (reference freeze_params_v2, train.py:94-107)."""
+    import re
+
+    import jax
+
+    include_re = re.compile(include) if include else None
+    exclude_re = re.compile(exclude) if exclude else None
+
+    def label(path, _):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        frozen = False
+        if include_re is not None and include_re.match(name) is not None:
+            frozen = True
+        if exclude_re is not None and exclude_re.match(name) is None:
+            frozen = True
+        return "frozen" if frozen else "train"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels)
