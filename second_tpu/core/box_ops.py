@@ -522,12 +522,15 @@ def fused_get_anchors_area(dense_map, anchors_bv, stride, offset, grid_size):
     c1 = np.clip(
         np.floor((anchors_bv[:, 1] - offset[1]) / stride[1]).astype(np.int64),
         0, None)
-    c2 = np.minimum(
+    # upstream's numba kernel leaves the max corners unclamped below 0 and
+    # silently wraps on negative indices; clamp instead (anchors fully
+    # outside the grid then read a zero-area table cell)
+    c2 = np.clip(
         np.floor((anchors_bv[:, 2] - offset[0]) / stride[0]).astype(np.int64),
-        grid_size[0] - 1)
-    c3 = np.minimum(
+        0, grid_size[0] - 1)
+    c3 = np.clip(
         np.floor((anchors_bv[:, 3] - offset[1]) / stride[1]).astype(np.int64),
-        grid_size[1] - 1)
+        0, grid_size[1] - 1)
     ID = dense_map[c3, c2]
     IA = dense_map[c1, c0]
     IB = dense_map[c3, c0]

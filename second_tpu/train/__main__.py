@@ -343,10 +343,12 @@ def main():
 
     from ..utils.fire_lite import fire
 
-    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
-    # explicitly so CPU runs are possible
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit cpu request so CPU runs are possible (other values, e.g.
+    # the environment-provided "axon", are plugin names jax.config
+    # does not accept — leave those to the plugin)
     plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
+    if plat == "cpu":
         import jax
 
         jax.config.update("jax_platforms", plat)

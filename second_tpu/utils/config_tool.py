@@ -39,6 +39,13 @@ def change_detection_range(model_config: schema.VoxelNet, new_range):
             old[:2] = new_range[:2]
             old[3:5] = new_range[2:]
             cs.anchor_generator_range.anchor_ranges = old
+        elif cs.anchor_generator_stride is not None:
+            a_cfg = cs.anchor_generator_stride
+            old_offset = list(a_cfg.offsets)
+            stride = list(a_cfg.strides)
+            old_offset[0] = new_range[0] + stride[0] / 2
+            old_offset[1] = new_range[1] + stride[1] / 2
+            a_cfg.offsets = old_offset
     old_post_range = list(model_config.post_center_limit_range)
     old_post_range[:2] = new_range[:2]
     old_post_range[3:5] = new_range[2:]

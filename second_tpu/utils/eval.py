@@ -42,6 +42,10 @@ def get_thresholds(scores, num_gt, num_sample_pts=41):
 CLASS_NAMES = [
     "car", "pedestrian", "cyclist", "van", "person_sitting", "car",
     "tractor", "trailer",
+    # extension beyond upstream: NuScenes classes so the kitti-style
+    # NuScenes eval works for all 10 classes (upstream crashes on these)
+    "bus", "construction_vehicle", "motorcycle", "bicycle", "barrier",
+    "traffic_cone", "truck",
 ]
 MIN_HEIGHT = [40, 25, 25]
 MAX_OCCLUSION = [0, 1, 2]
@@ -493,20 +497,40 @@ CLASS_TO_NAME = {
     5: "car",
     6: "tractor",
     7: "trailer",
+    8: "bus",
+    9: "construction_vehicle",
+    10: "motorcycle",
+    11: "bicycle",
+    12: "barrier",
+    13: "traffic_cone",
+    14: "truck",
 }
+
+
+def _name_to_class():
+    """Name -> class id, with case-insensitive aliases for names that
+    only exist in one casing (e.g. NuScenes-mapped 'pedestrian')."""
+    out = {v: n for n, v in CLASS_TO_NAME.items()}
+    for n, v in CLASS_TO_NAME.items():
+        out.setdefault(v.lower(), n)
+    return out
 
 
 def get_official_eval_result(gt_annos, dt_annos, current_classes,
                              difficultys=(0, 1, 2), z_axis=1, z_center=1.0):
     """Official KITTI AP blocks; same output text format as upstream."""
-    overlap_mod = np.array([[0.7, 0.5, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                            [0.7, 0.5, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7],
-                            [0.7, 0.5, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7]])
-    overlap_easy = np.array([[0.7, 0.5, 0.5, 0.7, 0.5, 0.5, 0.5, 0.5],
-                             [0.5, 0.25, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5],
-                             [0.5, 0.25, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5]])
+    overlap_mod = np.array(
+        [[0.7, 0.5, 0.5, 0.7, 0.5, 0.7, 0.7, 0.7,
+          0.7, 0.7, 0.5, 0.5, 0.5, 0.5, 0.7]] * 3)
+    overlap_easy = np.array(
+        [[0.7, 0.5, 0.5, 0.7, 0.5, 0.5, 0.5, 0.5,
+          0.5, 0.5, 0.25, 0.25, 0.25, 0.25, 0.5],
+         [0.5, 0.25, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5,
+          0.5, 0.5, 0.25, 0.25, 0.25, 0.25, 0.5],
+         [0.5, 0.25, 0.25, 0.5, 0.25, 0.5, 0.5, 0.5,
+          0.5, 0.5, 0.25, 0.25, 0.25, 0.25, 0.5]])
     min_overlaps = np.stack([overlap_mod, overlap_easy], axis=0)
-    name_to_class = {v: n for n, v in CLASS_TO_NAME.items()}
+    name_to_class = _name_to_class()
     if not isinstance(current_classes, (list, tuple)):
         current_classes = [current_classes]
     current_classes = [
@@ -566,8 +590,15 @@ def get_coco_eval_result(gt_annos, dt_annos, current_classes, z_axis=1,
         5: [0.5, 0.95, 10],
         6: [0.5, 0.95, 10],
         7: [0.5, 0.95, 10],
+        8: [0.5, 0.95, 10],
+        9: [0.5, 0.95, 10],
+        10: [0.25, 0.7, 10],
+        11: [0.25, 0.7, 10],
+        12: [0.25, 0.7, 10],
+        13: [0.25, 0.7, 10],
+        14: [0.5, 0.95, 10],
     }
-    name_to_class = {v: n for n, v in CLASS_TO_NAME.items()}
+    name_to_class = _name_to_class()
     if not isinstance(current_classes, (list, tuple)):
         current_classes = [current_classes]
     current_classes = [
