@@ -437,6 +437,13 @@ def iou(boxes, query_boxes, eps=1.0):
     """Axis-aligned [N, 4]x[K, 4] -> [N, K] IoU (xyxy, optional +eps area)."""
     boxes = np.asarray(boxes)
     query_boxes = np.asarray(query_boxes)
+    if boxes.shape[0] * query_boxes.shape[0] >= 1 << 16:
+        # large matrices: the C++ kernel avoids numpy's temporaries
+        from ..native import host_ops
+
+        if host_ops.available():
+            return host_ops.iou_matrix(boxes, query_boxes, eps).astype(
+                boxes.dtype)
     iw = np.minimum(boxes[:, None, 2], query_boxes[None, :, 2]) - np.maximum(
         boxes[:, None, 0], query_boxes[None, :, 0]
     ) + eps

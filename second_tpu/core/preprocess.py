@@ -124,6 +124,11 @@ def noise_per_box(boxes_bv, valid_mask, loc_noises, rot_noises):
     boxes_bv: [N, 5]; loc_noises: [N, M, 3]; rot_noises: [N, M].
     Returns selected try index per box (-1 = keep original).
     """
+    from ..native import host_ops
+
+    if host_ops.available():
+        return host_ops.noise_per_box(
+            boxes_bv, valid_mask, loc_noises, rot_noises)
     num_boxes = boxes_bv.shape[0]
     box_corners = box_to_corners(boxes_bv)  # current state [N, 4, 2]
     candidates = _candidate_corners(boxes_bv, loc_noises, rot_noises)

@@ -223,3 +223,135 @@ int64_t points_to_voxel(const float* points, int64_t num_points,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// axis-aligned IoU matrix (reference box_np_ops.iou_jit, numba)
+// ---------------------------------------------------------------------------
+
+void iou_matrix(const double* boxes, int64_t n, const double* query,
+                int64_t k, double eps, double* out) {
+  for (int64_t j = 0; j < k; ++j) {
+    double qarea = (query[j * 4 + 2] - query[j * 4 + 0] + eps) *
+                   (query[j * 4 + 3] - query[j * 4 + 1] + eps);
+    for (int64_t i = 0; i < n; ++i) {
+      const double* b = &boxes[i * 4];
+      double iw = std::fmin(b[2], query[j * 4 + 2]) -
+                  std::fmax(b[0], query[j * 4 + 0]) + eps;
+      double v = 0.0;
+      if (iw > 0) {
+        double ih = std::fmin(b[3], query[j * 4 + 3]) -
+                    std::fmax(b[1], query[j * 4 + 1]) + eps;
+        if (ih > 0) {
+          double ua =
+              (b[2] - b[0] + eps) * (b[3] - b[1] + eps) + qarea - iw * ih;
+          v = iw * ih / ua;
+        }
+      }
+      out[i * k + j] = v;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// per-object noise search (reference numba noise_per_box,
+// core/preprocess.py:245-273) with rotated-rect collision testing
+// ---------------------------------------------------------------------------
+
+struct Quad {
+  double x[4];
+  double y[4];
+};
+
+static void box_to_quad(double cx, double cy, double w, double l, double ang,
+                        Quad* q) {
+  // ring order matching core.rotated_iou.box_to_corners
+  static const double DX[4] = {-0.5, -0.5, 0.5, 0.5};
+  static const double DY[4] = {-0.5, 0.5, 0.5, -0.5};
+  double c = std::cos(ang), s = std::sin(ang);
+  for (int k = 0; k < 4; ++k) {
+    double dx = DX[k] * w, dy = DY[k] * l;
+    q->x[k] = dx * c + dy * s + cx;
+    q->y[k] = -dx * s + dy * c + cy;
+  }
+}
+
+static bool point_in_quad(double px, double py, const Quad* q) {
+  // inclusive projection test on the rectangle's edge basis
+  double abx = q->x[1] - q->x[0], aby = q->y[1] - q->y[0];
+  double adx = q->x[3] - q->x[0], ady = q->y[3] - q->y[0];
+  double apx = px - q->x[0], apy = py - q->y[0];
+  double dab = apx * abx + apy * aby;
+  double dad = apx * adx + apy * ady;
+  return dab >= 0 && dab <= abx * abx + aby * aby && dad >= 0 &&
+         dad <= adx * adx + ady * ady;
+}
+
+static bool segs_intersect(double ax, double ay, double bx, double by,
+                           double cx, double cy, double dx, double dy) {
+  auto ccw = [](double px, double py, double qx, double qy, double rx,
+                double ry) {
+    return (ry - py) * (qx - px) > (qy - py) * (rx - px);
+  };
+  return ccw(ax, ay, cx, cy, dx, dy) != ccw(bx, by, cx, cy, dx, dy) &&
+         ccw(ax, ay, bx, by, cx, cy) != ccw(ax, ay, bx, by, dx, dy);
+}
+
+static bool quads_collide(const Quad* a, const Quad* b) {
+  // standup gate
+  double aminx = a->x[0], amaxx = a->x[0], aminy = a->y[0], amaxy = a->y[0];
+  double bminx = b->x[0], bmaxx = b->x[0], bminy = b->y[0], bmaxy = b->y[0];
+  for (int k = 1; k < 4; ++k) {
+    aminx = std::fmin(aminx, a->x[k]); amaxx = std::fmax(amaxx, a->x[k]);
+    aminy = std::fmin(aminy, a->y[k]); amaxy = std::fmax(amaxy, a->y[k]);
+    bminx = std::fmin(bminx, b->x[k]); bmaxx = std::fmax(bmaxx, b->x[k]);
+    bminy = std::fmin(bminy, b->y[k]); bmaxy = std::fmax(bmaxy, b->y[k]);
+  }
+  if (amaxx < bminx || bmaxx < aminx || amaxy < bminy || bmaxy < aminy)
+    return false;
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j)
+      if (segs_intersect(a->x[i], a->y[i], a->x[(i + 1) % 4],
+                         a->y[(i + 1) % 4], b->x[j], b->y[j],
+                         b->x[(j + 1) % 4], b->y[(j + 1) % 4]))
+        return true;
+  if (point_in_quad(b->x[0], b->y[0], a)) return true;
+  if (point_in_quad(a->x[0], a->y[0], b)) return true;
+  return false;
+}
+
+// boxes_bv: [N, 5] (x, y, w, l, ang); loc_noises [N, M, 3];
+// rot_noises [N, M]; valid [N] bytes. Writes success [N] (try idx or -1).
+void noise_per_box(const double* boxes_bv, int64_t n, int64_t m,
+                   const uint8_t* valid, const double* loc_noises,
+                   const double* rot_noises, int64_t* success) {
+  std::vector<Quad> current(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const double* b = &boxes_bv[i * 5];
+    box_to_quad(b[0], b[1], b[2], b[3], b[4], &current[i]);
+    success[i] = -1;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (!valid[i]) continue;
+    const double* b = &boxes_bv[i * 5];
+    for (int64_t t = 0; t < m; ++t) {
+      Quad cand;
+      box_to_quad(b[0] + loc_noises[(i * m + t) * 3 + 0],
+                  b[1] + loc_noises[(i * m + t) * 3 + 1], b[2], b[3],
+                  b[4] + rot_noises[i * m + t], &cand);
+      bool coll = false;
+      for (int64_t j = 0; j < n && !coll; ++j) {
+        if (j == i) continue;
+        coll = quads_collide(&cand, &current[j]);
+      }
+      if (!coll) {
+        success[i] = t;
+        current[i] = cand;
+        break;
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -172,9 +172,6 @@ def train(config_path,
                 if cls_stats is not None:
                     running.update(
                         {k: np.asarray(v) for k, v in cls_stats.items()})
-                if train_cfg.clear_metrics_every_epoch and \
-                        step % steps_per_epoch == 0:
-                    running.clear()
                 if step % display_step == 0 or step == 1:
                     m = {k: float(v) for k, v in metrics.items()}
                     m.update(running.value())
@@ -183,6 +180,9 @@ def train(config_path,
                         time.time() - t_step, 1e-6)
                     t_step = time.time()
                     log.log_metrics({"runtime": m}, step)
+                if train_cfg.clear_metrics_every_epoch and \
+                        step % steps_per_epoch == 0:
+                    running.clear()
                 if time.time() - last_ckpt_time > train_cfg.save_checkpoints_secs:
                     ckpt_lib.save(model_dir, state, "voxelnet", step)
                     last_ckpt_time = time.time()
