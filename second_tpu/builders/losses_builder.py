@@ -35,8 +35,8 @@ def _build_classification(cfg: schema.ClassificationLoss):
             L.bootstrapped_sigmoid_loss, alpha=c.alpha,
             hard_bootstrap=c.hard_bootstrap)
     if which == "weighted_ghm":
-        raise NotImplementedError(
-            "GHM loss is flagged broken upstream (ghm_loss.py:1-3)")
+        c = cfg.weighted_ghm
+        return functools.partial(L.ghm_c_loss, bins=c.bins or 10)
     raise ValueError("empty classification loss config")
 
 
@@ -52,8 +52,11 @@ def _build_localization(cfg: schema.LocalizationLoss):
         return functools.partial(
             L.weighted_smooth_l1_loss, sigma=c.sigma, code_weights=cw)
     if which == "weighted_ghm":
-        raise NotImplementedError(
-            "GHM loss is flagged broken upstream (ghm_loss.py:1-3)")
+        c = cfg.weighted_ghm
+        cw = list(c.code_weight) or None
+        return functools.partial(
+            L.ghm_r_loss, mu=c.mu or 0.02, bins=c.bins or 10,
+            code_weights=cw)
     raise ValueError("empty localization loss config")
 
 

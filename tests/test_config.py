@@ -146,3 +146,47 @@ def test_parse_all_reference_configs(path):
     assert cfg.train_config.steps > 0
     for cs in m.target_assigner.class_settings:
         assert cs.class_name != ""
+
+
+def test_config_tool_train_helpers():
+    from second_tpu.utils import config_tool
+
+    import pathlib
+    cfg = config_tool.read_config(
+        pathlib.Path(REF_CONFIG_DIR) / "car.lite.config")
+    tc = cfg.train_config
+
+    config_tool.manual_stepping(tc, [0.8, 0.9], [1e-4, 1e-5, 1e-6])
+    lr = tc.optimizer.adam_optimizer.learning_rate
+    assert lr.WhichOneof("learning_rate") == "manual_stepping"
+    assert list(lr.manual_stepping.rates) == [1e-4, 1e-5, 1e-6]
+
+    config_tool.exp_decay(tc, 1e-3, 0.1, 0.8, staircase=False)
+    assert lr.WhichOneof("learning_rate") == "exponential_decay"
+    assert lr.exponential_decay.decay_factor == 0.8
+
+    config_tool.one_cycle(tc, 3e-3, [0.95, 0.85], 10.0, 0.4)
+    assert lr.WhichOneof("learning_rate") == "one_cycle"
+    assert lr.one_cycle.lr_max == 3e-3
+
+    config_tool.set_train_step(cfg, epochs=10, eval_epoch=2,
+                               num_examples=100)
+    bs = cfg.train_input_reader.batch_size
+    per_epoch = (100 + bs - 1) // bs
+    assert tc.steps == per_epoch * 10
+    assert tc.steps_per_eval == per_epoch * 2
+
+    config_tool.disable_sample(cfg)
+    assert not cfg.train_input_reader.database_sampler.database_info_path
+    config_tool.disable_per_gt_aug(cfg)
+    config_tool.disable_global_aug(cfg)
+    prep = cfg.train_input_reader.preprocess
+    assert list(prep.global_rotation_uniform_noise) == [0.0, 0.0]
+
+    # schedule builders accept the mutated config
+    from second_tpu.train import schedules
+    config_tool.manual_stepping(tc, [0.5], [1e-3, 1e-4])
+    fn, _ = schedules.build(
+        tc.optimizer.adam_optimizer.learning_rate, 100)
+    assert abs(float(fn(10)) - 1e-3) < 1e-9
+    assert abs(float(fn(90)) - 1e-4) < 1e-9

@@ -174,3 +174,27 @@ def test_model_tools(tmp_path):
     assert n == 2
     assert shape_mergeable(np.zeros((3, 4)), [3, None])
     assert not shape_mergeable(np.zeros((3, 4)), [4, None])
+
+
+def test_bbox_plot(tmp_path):
+    from second_tpu.utils import bbox_plot
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform([0, -20, -2], [60, 20, 0.5], (500, 3))
+    gt = np.array([[10.0, 0.0, -1.0, 2.0, 4.0, 1.5, 0.4]])
+    det = np.array([[10.5, 0.3, -1.0, 2.0, 4.0, 1.5, 0.3]])
+    out = tmp_path / "bev.png"
+    bbox_plot.plot_bev_scene(
+        pts, gt_boxes=gt, det_boxes=det, pc_range=[0, -40, -3, 70.4, 40, 1],
+        save_path=out)
+    assert out.exists() and out.stat().st_size > 1000
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    bbox_plot.draw_bbox_in_ax(
+        ax, np.array([[0.0, 0.0, 2.0, 3.0]]), labels=["car"])
+    bbox_plot.draw_rotated_bbox_in_ax(
+        ax, np.array([[1.0, 1.0, 2.0, 4.0, 0.5]]), labels=["x"])
+    plt.close(fig)
