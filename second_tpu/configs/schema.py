@@ -87,6 +87,16 @@ class Message:
 
     _hints_cache: dict = {}
 
+    def __setattr__(self, name, value):
+        # Reject typo'd field names (e.g. `sigmoid_focal` instead of
+        # `weighted_sigmoid_focal`) which would otherwise be silently
+        # ignored by every consumer of the config.
+        if not name.startswith("_") and name not in self._hints():
+            raise AttributeError(
+                f"{type(self).__name__} has no field {name!r} "
+                f"(known: {sorted(self._hints())})")
+        object.__setattr__(self, name, value)
+
     def __init__(self, **kwargs):
         hints = self._hints()
         for name, typ in hints.items():

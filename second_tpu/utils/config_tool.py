@@ -128,7 +128,7 @@ def set_train_step(config, epochs, eval_epoch, num_examples=None):
 
 def disable_sample(config):
     """Drop the GT-database sampler (train.py:75-77)."""
-    config.train_input_reader.database_sampler = (
+    config.train_input_reader.preprocess.database_sampler = (
         schema.Sampler.from_raw({}))
 
 

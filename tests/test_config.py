@@ -177,7 +177,7 @@ def test_config_tool_train_helpers():
     assert tc.steps_per_eval == per_epoch * 2
 
     config_tool.disable_sample(cfg)
-    assert not cfg.train_input_reader.database_sampler.database_info_path
+    assert not (cfg.train_input_reader.preprocess.database_sampler.database_info_path)
     config_tool.disable_per_gt_aug(cfg)
     config_tool.disable_global_aug(cfg)
     prep = cfg.train_input_reader.preprocess
@@ -190,3 +190,12 @@ def test_config_tool_train_helpers():
         tc.optimizer.adam_optimizer.learning_rate, 100)
     assert abs(float(fn(10)) - 1e-3) < 1e-9
     assert abs(float(fn(90)) - 1e-4) < 1e-9
+
+
+def test_message_rejects_unknown_attribute():
+    from second_tpu.configs import schema
+
+    loss = schema.ClassificationLoss.from_raw({})
+    with pytest.raises(AttributeError, match="no field"):
+        loss.sigmoid_focal = None  # typo for weighted_sigmoid_focal
+    loss.weighted_sigmoid = None  # real field: fine
