@@ -140,9 +140,16 @@ def disable_per_gt_aug(config):
 
 
 def disable_global_aug(config):
-    """Zero global augmentation (train.py:84-89)."""
+    """Zero global augmentation (train.py:84-89).
+
+    Deliberate deviation: the reference sets
+    ``global_scaling_uniform_noise[:] = [0, 0]``, but that field is a
+    [min_scale, max_scale] RANGE — scale 0 collapses every point and box
+    to the origin, silently turning all anchor labels to -1 (nothing
+    trains). The identity scale is [1, 1].
+    """
     prep = config.train_input_reader.preprocess
     prep.global_rotation_uniform_noise = [0.0, 0.0]
-    prep.global_scaling_uniform_noise = [0.0, 0.0]
+    prep.global_scaling_uniform_noise = [1.0, 1.0]
     prep.global_random_rotation_range_per_object = [0.0, 0.0]
     prep.global_translate_noise_std = [0.0, 0.0, 0.0]
