@@ -66,3 +66,25 @@ if __name__ == "__main__":
     main()
 
 
+
+
+def nuscenes_modify_step(config, epochs, eval_epoch, data_sample_factor,
+                         num_examples=None):
+    """Switch the NuScenes subsample variant and set step counts
+    (reference script_server.py:21-50; the train_nuscenes_* wrappers
+    there are hardcoded personal paths and are not replicated).
+    """
+    factor_to_name = {i: f"NuScenesDatasetD{i}" for i in range(2, 9)}
+    factor_to_name[1] = "NuScenesDataset"
+    dataset_name = factor_to_name[data_sample_factor]
+    input_cfg = config.train_input_reader
+    input_cfg.dataset.dataset_class_name = dataset_name
+    if num_examples is None:
+        from .data.dataset import get_dataset_class
+        ds = get_dataset_class(dataset_name)(
+            root_path=input_cfg.dataset.kitti_root_path,
+            info_path=input_cfg.dataset.kitti_info_path)
+        num_examples = len(ds)
+    from .utils.config_tool import set_train_step
+    set_train_step(config, epochs, eval_epoch, num_examples=num_examples)
+    return config
