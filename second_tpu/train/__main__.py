@@ -151,7 +151,9 @@ def train(config_path,
     step_fn = make_train_step(net, spec, tx, mesh=mesh)
 
     from ..utils.metrics import RunningMetrics
+    from ..utils.timer import ModelTimer
 
+    timer = ModelTimer(enabled=measure_time)
     running = RunningMetrics()
     steps_per_epoch = max(len(loader), 1)
     start_step = int(state.global_step)
@@ -159,14 +161,29 @@ def train(config_path,
     last_ckpt_time = time.time()
     t_step = time.time()
     try:
+        def _timed(iterable):
+            it = iter(iterable)
+            while True:
+                timer.start("data_fetch")
+                try:
+                    nxt = next(it)
+                except StopIteration:
+                    return
+                timer.end("data_fetch")
+                yield nxt
+
         while step < total_step:
-            for example in loader:
+            for example in _timed(loader):
                 if step >= total_step:
                     break
-                ex = put_sharded(
-                    {k: jnp.asarray(v)
-                     for k, v in example_convert(example).items()}, mesh)
+                with timer.scope("host_to_device"):
+                    ex = put_sharded(
+                        {k: jnp.asarray(v)
+                         for k, v in example_convert(example).items()}, mesh)
+                timer.start("train_step")
                 state, metrics = step_fn(state, ex)
+                # loss transfer below is the honest device sync
+                timer.end("train_step", sync_value=metrics["loss"])
                 step += 1
                 cls_stats = metrics.pop("cls_stats", None)
                 if cls_stats is not None:
@@ -180,6 +197,13 @@ def train(config_path,
                         time.time() - t_step, 1e-6)
                     t_step = time.time()
                     log.log_metrics({"runtime": m}, step)
+                    if measure_time:
+                        avg = timer.get_avg_time_dict()
+                        log.log_text(
+                            "avg_time_ms: " + ", ".join(
+                                f"{k}={v * 1000:.2f}"
+                                for k, v in avg.items()), step)
+                        timer.clear()
                 if train_cfg.clear_metrics_every_epoch and \
                         step % steps_per_epoch == 0:
                     running.clear()
@@ -208,12 +232,14 @@ def train(config_path,
 
 
 def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
-              result_dir):
+              result_dir, timer=None):
     """Eval loop: fixed-shape batches, ragged detections, official AP."""
     import jax.numpy as jnp
 
     from ..parallel import put_sharded
+    from ..utils.timer import ModelTimer
 
+    timer = timer or ModelTimer(enabled=False)
     eval_step = make_eval_step(net, spec, mesh=mesh)
     loader = DataLoader(
         eval_dataset, batch_size, shuffle=False,
@@ -221,18 +247,21 @@ def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
     detections = []
     t0 = time.time()
     for example in loader:
-        ex_np = example_convert(example)
-        real = ex_np["voxels"].shape[0]
-        if real < batch_size:  # pad the tail batch
-            pad = batch_size - real
-            ex_np = {
-                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-                for k, v in ex_np.items()
-            }
-        ex = put_sharded(
-            {k: jnp.asarray(v) for k, v in ex_np.items()}, mesh)
-        dets = eval_step(state, ex)
-        dets = {k: np.asarray(v) for k, v in dets.items()}
+        with timer.scope("host_prep"):
+            ex_np = example_convert(example)
+            real = ex_np["voxels"].shape[0]
+            if real < batch_size:  # pad the tail batch
+                pad = batch_size - real
+                ex_np = {
+                    k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                    for k, v in ex_np.items()
+                }
+            ex = put_sharded(
+                {k: jnp.asarray(v) for k, v in ex_np.items()}, mesh)
+        with timer.scope("eval_step"):
+            dets = eval_step(state, ex)
+            # device->host copy doubles as the honest device sync
+            dets = {k: np.asarray(v) for k, v in dets.items()}
         for b in range(real):
             valid = dets["valid"][b]
             detections.append({
@@ -300,8 +329,15 @@ def evaluate(config_path,
             raise ValueError(f"no checkpoint found in {model_dir}")
     if result_path is None:
         result_path = model_dir / "eval_results" / f"step_{step}"
+    from ..utils.timer import ModelTimer
+
+    timer = ModelTimer(enabled=measure_time)
     res = _run_eval(net, spec, state, eval_dataset, batch_size, num_workers,
-                    mesh, result_path)
+                    mesh, result_path, timer=timer)
+    if measure_time:
+        print("avg_time_ms:", {
+            k: round(v * 1000, 2)
+            for k, v in timer.get_avg_time_dict().items()})
     if res is not None:
         print(res["results"]["official"])
         print(res["results"]["coco"])

@@ -31,9 +31,13 @@ class ModelTimer:
         if not self._enabled:
             return
         if sync_value is not None:
+            # a host transfer, not block_until_ready: the latter is a
+            # no-op on the tunneled axon TPU backend (see README timing
+            # note), so transferring a scalar is the only honest sync
             import jax
+            import numpy as np
 
-            jax.block_until_ready(sync_value)
+            np.asarray(jax.device_get(sync_value))
         self._totals[name] += time.perf_counter() - self._starts.pop(name)
         self._counts[name] += 1
 
