@@ -34,6 +34,7 @@ def main():
 
     N_POINTS = 32768  # sized for KITTI velodyne_reduced clouds (~18k pts)
     MAX_VOXELS = 12000
+    BATCH = 2  # measured throughput peak on one v5e chip
     T = gen.max_num_points_per_voxel
     grid = tuple(int(v) for v in gen.grid_size)
 
@@ -50,23 +51,25 @@ def main():
         np.zeros((1, MAX_VOXELS), np.int32),
         np.full((1, MAX_VOXELS, 3), -1, np.int32),
     )
-    anchors_b = jnp.asarray(anchors)[None]
+    anchors_b = jnp.asarray(
+        np.broadcast_to(anchors[None], (BATCH,) + anchors.shape))
 
     @jax.jit
     def e2e(variables, points_buf, num_points):
-        voxels, coords, counts, _ = voxelize(
-            points_buf, num_points,
-            tuple(gen.voxel_size.tolist()),
-            tuple(gen.point_cloud_range[:3].tolist()),
-            grid_size=grid,
-            max_voxels=MAX_VOXELS,
-            max_points_per_voxel=T,
-        )
-        preds = net.apply(
-            variables, voxels[None], counts[None], coords[None])
+        def vox(p):
+            return voxelize(
+                p, num_points,
+                tuple(gen.voxel_size.tolist()),
+                tuple(gen.point_cloud_range[:3].tolist()),
+                grid_size=grid,
+                max_voxels=MAX_VOXELS,
+                max_points_per_voxel=T,
+            )
+        voxels, coords, counts, _ = jax.vmap(vox)(points_buf)
+        preds = net.apply(variables, voxels, counts, coords)
         return predict(spec, preds, {"anchors": anchors_b})
 
-    pts_j = jnp.asarray(buf)
+    pts_j = jnp.asarray(np.broadcast_to(buf[None], (BATCH,) + buf.shape))
     dets = e2e(variables, pts_j, n)
     # NOTE: block_until_ready is unreliable on the tunneled TPU backend;
     # a host transfer is the only honest sync
@@ -78,7 +81,7 @@ def main():
         dets = e2e(variables, pts_j, n)
     _ = np.asarray(dets["scores"])
     dt = (time.perf_counter() - t0) / iters
-    fps = 1.0 / dt
+    fps = BATCH / dt
 
     print(json.dumps({
         "metric": "pointpillars_e2e_inference",

@@ -118,33 +118,42 @@ class SparseMiddleBase(nn.Module):
         grid = sparse.from_voxel_coords(
             voxel_features, coords, sparse_shape)
 
-        rulebook = None
-        rulebook_kernel = None
+        # Group the topology per scale (subm ops + the closing strided
+        # conv): the active set is feature-independent, so all neighbor
+        # lookups of a scale — every subm kernel's rulebook AND the
+        # strided conv's input slots — are answered by ONE dense index
+        # grid build (sparse.lookup_many) instead of one per op kind.
+        groups, cur = [], []
+        for op in self.topology:
+            cur.append(op)
+            if op[0] == "down":
+                groups.append(cur)
+                cur = []
+        if cur:
+            groups.append(cur)
+
         cin = self.num_input_features
         li = 0
         down_idx = 0
-        for op in self.topology:
-            if op[0] == "subm":
-                _, cout, kernel = op
-                kernel = _t3(kernel)
-                if rulebook is None or rulebook_kernel != kernel:
-                    rulebook = sparse.build_subm_rulebook(grid, kernel)
-                    rulebook_kernel = kernel
-                k = int(np.prod(kernel))
-                w = self.param(
-                    f"subm{li}_w",
-                    nn.initializers.variance_scaling(
-                        1.0, "fan_in", "normal"),
-                    (k, cin, cout))
-                bias = (
-                    None if self.use_norm else self.param(
-                        f"subm{li}_b", nn.initializers.zeros, (cout,)))
-                if self.compute_dtype is not None:
-                    w = w.astype(self.compute_dtype)
-                grid = sparse.subm_conv(grid, rulebook, w, bias)
-            else:
-                _, cout, kernel, stride, pad = op
-                kernel, stride, pad = _t3(kernel), _t3(stride), _t3(pad)
+        for group in groups:
+            subm_kernels = []
+            for op in group:
+                if op[0] == "subm":
+                    kernel = _t3(op[2])
+                    if kernel not in subm_kernels:
+                        subm_kernels.append(kernel)
+            down_op = group[-1] if group[-1][0] == "down" else None
+
+            queries = []
+            for kernel in subm_kernels:
+                qlin, qok, _ = sparse.subm_queries(grid, kernel)
+                queries.append((qlin, qok))
+            out_grid = None
+            if down_op is not None:
+                _, _, kernel_d, stride_d, pad_d = down_op
+                kernel_d = _t3(kernel_d)
+                stride_d = _t3(stride_d)
+                pad_d = _t3(pad_d)
                 factor = (
                     self.capacity_factors[down_idx]
                     if down_idx < len(self.capacity_factors) else 1.0)
@@ -152,33 +161,66 @@ class SparseMiddleBase(nn.Module):
                 out_cap = max(int(-(-cur_cap * factor // 8)) * 8, 64)
                 down_idx += 1
                 out_grid = sparse.downsample_active_set(
-                    grid, kernel, stride, pad, out_capacity=out_cap)
+                    grid, kernel_d, stride_d, pad_d, out_capacity=out_cap)
+                dlin, dok, _ = sparse.sparse_conv_queries(
+                    grid, out_grid, kernel_d, stride_d, pad_d)
+                queries.append((dlin, dok))
+            results = sparse.lookup_many(grid.lin, queries, grid.sentinel)
+            b, v = grid.lin.shape
+            rulebooks = {}
+            for kernel, (slots, found) in zip(subm_kernels, results):
                 k = int(np.prod(kernel))
-                w = self.param(
-                    f"down{li}_w",
-                    nn.initializers.variance_scaling(
-                        1.0, "fan_in", "normal"),
-                    (k, cin, cout))
-                bias = (
-                    None if self.use_norm else self.param(
-                        f"down{li}_b", nn.initializers.zeros, (cout,)))
-                if self.compute_dtype is not None:
-                    w = w.astype(self.compute_dtype)
-                grid = sparse.sparse_conv(
-                    grid, out_grid, w, kernel, stride, pad, bias)
-                rulebook = None
-                rulebook_kernel = None
-            if self.use_norm:
-                feats = MaskedBatchNorm(name=f"bn{li}")(
-                    grid.features, mask=grid.valid,
-                    use_running_average=not train)
-            else:
-                feats = grid.features
-            feats = nn.relu(feats)
-            feats = jnp.where(grid.valid[..., None], feats, 0.0)
-            grid = grid._replace(features=feats)
-            cin = cout
-            li += 1
+                rulebooks[kernel] = (
+                    slots.reshape(b, v, k), found.reshape(b, v, k))
+            down_slots = None
+            if down_op is not None:
+                slots, _ = results[-1]
+                kd = int(np.prod(_t3(down_op[2])))
+                down_slots = slots.reshape(b, out_grid.lin.shape[-1], kd)
+
+            for op in group:
+                if op[0] == "subm":
+                    _, cout, kernel = op
+                    kernel = _t3(kernel)
+                    k = int(np.prod(kernel))
+                    w = self.param(
+                        f"subm{li}_w",
+                        nn.initializers.variance_scaling(
+                            1.0, "fan_in", "normal"),
+                        (k, cin, cout))
+                    bias = (
+                        None if self.use_norm else self.param(
+                            f"subm{li}_b", nn.initializers.zeros, (cout,)))
+                    if self.compute_dtype is not None:
+                        w = w.astype(self.compute_dtype)
+                    grid = sparse.subm_conv(grid, rulebooks[kernel], w, bias)
+                else:
+                    _, cout, kernel, stride, pad = op
+                    kernel = _t3(kernel)
+                    k = int(np.prod(kernel))
+                    w = self.param(
+                        f"down{li}_w",
+                        nn.initializers.variance_scaling(
+                            1.0, "fan_in", "normal"),
+                        (k, cin, cout))
+                    bias = (
+                        None if self.use_norm else self.param(
+                            f"down{li}_b", nn.initializers.zeros, (cout,)))
+                    if self.compute_dtype is not None:
+                        w = w.astype(self.compute_dtype)
+                    grid = sparse.sparse_conv_apply(
+                        grid, out_grid, down_slots, w, bias)
+                if self.use_norm:
+                    feats = MaskedBatchNorm(name=f"bn{li}")(
+                        grid.features, mask=grid.valid,
+                        use_running_average=not train)
+                else:
+                    feats = grid.features
+                feats = nn.relu(feats)
+                feats = jnp.where(grid.valid[..., None], feats, 0.0)
+                grid = grid._replace(features=feats)
+                cin = cout
+                li += 1
 
         dense = sparse.to_dense(grid)  # [B, D, H, W, C]
         b, d, h, w_, c = dense.shape
