@@ -42,6 +42,20 @@ def build(input_reader_config: schema.InputReader,
         anchor_cache = make_anchor_cache(
             target_assigner, feature_map_size, grid_size)
 
+    # host-side sparse-conv planning (C++ rulebooks, the reference's
+    # spconv-on-CPU architecture) for the sparse middle family
+    sparse_plan_scales = None
+    middle_name = model_config.middle_feature_extractor.module_class_name
+    from ..models.sparse_middle import SPARSE_MIDDLE_NAMES, plan_scales
+    if middle_name in SPARSE_MIDDLE_NAMES:
+        from ..native import sparse_plan as native_plan
+        if native_plan.available():
+            dense_shape = [
+                1, *grid_size[::-1].tolist(),
+                model_config.middle_feature_extractor.num_input_features]
+            sparse_plan_scales = plan_scales(
+                middle_name, dense_shape, prep_cfg.max_number_of_voxels)
+
     prep_func = partial(
         prep_pointcloud,
         root_path=dataset_cfg.kitti_root_path,
@@ -82,6 +96,7 @@ def build(input_reader_config: schema.InputReader,
         random_flip_y=prep_cfg.random_flip_y,
         sample_importance=prep_cfg.sample_importance,
         anchor_cache=anchor_cache,
+        sparse_plan_scales=sparse_plan_scales,
     )
 
     dataset = dataset_cls(

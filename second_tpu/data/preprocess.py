@@ -57,8 +57,14 @@ def prep_pointcloud(input_dict,
                     random_flip_x=True,
                     random_flip_y=True,
                     sample_importance=1.0,
+                    sparse_plan_scales=None,
                     out_dtype=np.float32):
-    """Returns a fixed-shape example dict."""
+    """Returns a fixed-shape example dict.
+
+    sparse_plan_scales: optional output of sparse_middle.plan_scales —
+    when given, voxels are sorted by linear id and C++-built sparse-conv
+    rulebooks (plan_* int32 arrays) are added to the example.
+    """
     t = time.time()
     class_names = target_assigner.classes
     points = input_dict["lidar"]["points"]
@@ -186,6 +192,24 @@ def prep_pointcloud(input_dict,
         "num_voxels": np.array([num_voxels], dtype=np.int64),
         "metrics": metrics,
     }
+    if sparse_plan_scales is not None:
+        # host-built rulebooks need voxels sorted by linear id
+        d, h, w = sparse_plan_scales[0]["shape"]
+        lin = np.where(
+            coordinates[:, 0] >= 0,
+            (coordinates[:, 0].astype(np.int64) * h + coordinates[:, 1])
+            * w + coordinates[:, 2],
+            d * h * w)
+        order = np.argsort(lin, kind="stable")
+        voxels = voxels[order]
+        coordinates = coordinates[order]
+        num_points = num_points[order]
+        example["voxels"] = voxels
+        example["coordinates"] = coordinates
+        example["num_points"] = num_points
+        from ..models.sparse_middle import build_host_plan
+
+        example.update(build_host_plan(coordinates, sparse_plan_scales))
     if calib is not None:
         example["calib"] = calib
     feature_map_size = grid_size[:2] // out_size_factor

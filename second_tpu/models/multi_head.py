@@ -90,11 +90,16 @@ class VoxelNetNuscenesMultiHead(VoxelNet):
         self.large_head = _Head(
             num_anchor_per_loc=large_nloc, conv_stack=0, **common)
 
-    def __call__(self, voxels, num_points, coords, train=False):
+    def __call__(self, voxels, num_points, coords, train=False,
+                 sparse_plan=None):
         voxel_features = self.voxel_feature_extractor(
             voxels, num_points, coords, train=train)
-        spatial_features = self.middle_feature_extractor(
-            voxel_features, coords, train=train)
+        if sparse_plan is not None:
+            spatial_features = self.middle_feature_extractor(
+                voxel_features, coords, train=train, plan=sparse_plan)
+        else:
+            spatial_features = self.middle_feature_extractor(
+                voxel_features, coords, train=train)
         rpn_out = self.rpn(spatial_features, train=train)
         r1 = rpn_out["stage0"]  # NHWC
         h = r1.shape[1]

@@ -26,6 +26,114 @@ def _t3(v):
     return (int(v),) * 3
 
 
+def _group_topology(topology):
+    """Split ops into per-scale groups (subm ops + closing down op)."""
+    groups, cur = [], []
+    for op in topology:
+        cur.append(op)
+        if op[0] == "down":
+            groups.append(cur)
+            cur = []
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _out_capacity(cur_cap, factor):
+    return max(int(-(-cur_cap * factor // 8)) * 8, 64)
+
+
+def _down_out_shape(shape, kernel, stride, pad):
+    return tuple(
+        (shape[a] + 2 * pad[a] - kernel[a]) // stride[a] + 1
+        for a in range(3))
+
+
+def plan_scales(middle_class_name, output_shape, max_voxels):
+    """Static per-scale planning info for HOST-side rulebook building
+    (``second_tpu.native.sparse_plan``). Mirrors the grouping and
+    capacity schedule of ``SparseMiddleBase.__call__`` exactly — the
+    produced slot arrays index the same static active sets the device
+    path would build.
+
+    Returns a list of dicts: {"shape", "in_cap", "subm_kernels",
+    "down": (kernel, stride, pad) | None, "out_cap", "out_shape"}.
+    """
+    from .registry import get_middle_class
+
+    cls = get_middle_class(middle_class_name)
+    nz, ny, nx = (int(v) for v in output_shape[1:4])
+    shape = (nz + 1, ny, nx)
+    cap = int(max_voxels)
+    scales = []
+    down_idx = 0
+    for group in _group_topology(cls.topology):
+        subm_kernels = []
+        for op in group:
+            if op[0] == "subm":
+                kernel = _t3(op[2])
+                if kernel not in subm_kernels:
+                    subm_kernels.append(kernel)
+        entry = {
+            "shape": shape,
+            "in_cap": cap,
+            "subm_kernels": subm_kernels,
+            "down": None,
+            "out_cap": None,
+            "out_shape": None,
+        }
+        down_op = group[-1] if group[-1][0] == "down" else None
+        if down_op is not None:
+            kernel = _t3(down_op[2])
+            stride = _t3(down_op[3])
+            pad = _t3(down_op[4])
+            factor = (
+                cls.capacity_factors[down_idx]
+                if down_idx < len(cls.capacity_factors) else 1.0)
+            out_cap = _out_capacity(cap, factor)
+            out_shape = _down_out_shape(shape, kernel, stride, pad)
+            entry["down"] = (kernel, stride, pad)
+            entry["out_cap"] = out_cap
+            entry["out_shape"] = out_shape
+            shape = out_shape
+            cap = out_cap
+            down_idx += 1
+        scales.append(entry)
+    return scales
+
+
+def build_host_plan(coords, scales):
+    """Run the C++ planner over every scale. coords: [V, 3] int32 zyx
+    sorted by linear id with -1 padding rows. Returns a flat dict of
+    int32 arrays: plan_subm{i} [V_i, 27], plan_coords{i} [V_{i+1}, 3],
+    plan_conv{i} [V_{i+1}, K]."""
+    from ..native import sparse_plan as native_plan
+    from ..ops.sparse import _kernel_offsets
+
+    plan = {}
+    for i, sc in enumerate(scales):
+        shape = sc["shape"]
+        if sc["subm_kernels"]:
+            assert len(sc["subm_kernels"]) == 1, (
+                "one subm kernel per scale expected")
+            kernel = sc["subm_kernels"][0]
+            pad = np.array([(kernel[0] - 1) // 2, (kernel[1] - 1) // 2,
+                            (kernel[2] - 1) // 2])
+            offs = _kernel_offsets(kernel) - pad
+            plan[f"plan_subm{i}"] = native_plan.subm_plan(
+                coords, shape, offs)
+        if sc["down"] is not None:
+            kernel, stride, padding = sc["down"]
+            offs = _kernel_offsets(kernel)
+            out_coords, conv_slots, _ = native_plan.down_plan(
+                coords, shape, kernel, stride, padding, offs,
+                sc["out_cap"])
+            plan[f"plan_coords{i}"] = out_coords
+            plan[f"plan_conv{i}"] = conv_slots
+            coords = out_coords
+    return plan
+
+
 # topology ops: ("subm", out_ch, kernel) | ("down", out_ch, kernel, stride, pad)
 FHD_TOPOLOGY = (
     ("subm", 16, 3), ("subm", 16, 3),
@@ -109,14 +217,21 @@ class SparseMiddleBase(nn.Module):
     capacity_factors: Tuple = (0.8, 0.7, 0.65, 0.6)
 
     @nn.compact
-    def __call__(self, voxel_features, coords, train=False):
+    def __call__(self, voxel_features, coords, train=False, plan=None):
+        """plan: optional flat dict from :func:`build_host_plan` — host
+        C++-built rulebooks/active sets (batched [B, ...]); when given,
+        no device-side hash/sort work runs at all."""
         nz, ny, nx = (int(v) for v in self.output_shape[1:4])
         # spconv pads z by 1 (middle.py:140: sparse_shape = grid + [1,0,0])
         sparse_shape = (nz + 1, ny, nx)
         if self.compute_dtype is not None:
             voxel_features = voxel_features.astype(self.compute_dtype)
-        grid = sparse.from_voxel_coords(
-            voxel_features, coords, sparse_shape)
+        if plan is not None:
+            grid = sparse.from_sorted_voxel_coords(
+                voxel_features, coords, sparse_shape)
+        else:
+            grid = sparse.from_voxel_coords(
+                voxel_features, coords, sparse_shape)
 
         # Group the topology per scale (subm ops + the closing strided
         # conv): the active set is feature-independent, so all neighbor
@@ -135,7 +250,7 @@ class SparseMiddleBase(nn.Module):
         cin = self.num_input_features
         li = 0
         down_idx = 0
-        for group in groups:
+        for scale_idx, group in enumerate(groups):
             subm_kernels = []
             for op in group:
                 if op[0] == "subm":
@@ -143,40 +258,65 @@ class SparseMiddleBase(nn.Module):
                     if kernel not in subm_kernels:
                         subm_kernels.append(kernel)
             down_op = group[-1] if group[-1][0] == "down" else None
-
-            queries = []
-            for kernel in subm_kernels:
-                qlin, qok, _ = sparse.subm_queries(grid, kernel)
-                queries.append((qlin, qok))
-            out_grid = None
-            if down_op is not None:
-                _, _, kernel_d, stride_d, pad_d = down_op
-                kernel_d = _t3(kernel_d)
-                stride_d = _t3(stride_d)
-                pad_d = _t3(pad_d)
-                factor = (
-                    self.capacity_factors[down_idx]
-                    if down_idx < len(self.capacity_factors) else 1.0)
-                cur_cap = grid.lin.shape[-1]
-                out_cap = max(int(-(-cur_cap * factor // 8)) * 8, 64)
-                down_idx += 1
-                out_grid = sparse.downsample_active_set(
-                    grid, kernel_d, stride_d, pad_d, out_capacity=out_cap)
-                dlin, dok, _ = sparse.sparse_conv_queries(
-                    grid, out_grid, kernel_d, stride_d, pad_d)
-                queries.append((dlin, dok))
-            results = sparse.lookup_many(grid.lin, queries, grid.sentinel)
             b, v = grid.lin.shape
-            rulebooks = {}
-            for kernel, (slots, found) in zip(subm_kernels, results):
-                k = int(np.prod(kernel))
-                rulebooks[kernel] = (
-                    slots.reshape(b, v, k), found.reshape(b, v, k))
-            down_slots = None
-            if down_op is not None:
-                slots, _ = results[-1]
-                kd = int(np.prod(_t3(down_op[2])))
-                down_slots = slots.reshape(b, out_grid.lin.shape[-1], kd)
+
+            if plan is not None:
+                rulebooks = {}
+                if subm_kernels:
+                    slots = plan[f"plan_subm{scale_idx}"]
+                    for kernel in subm_kernels:
+                        rulebooks[kernel] = (slots, None)
+                out_grid = None
+                down_slots = None
+                if down_op is not None:
+                    kernel_d = _t3(down_op[2])
+                    stride_d = _t3(down_op[3])
+                    pad_d = _t3(down_op[4])
+                    out_shape = _down_out_shape(
+                        grid.shape, kernel_d, stride_d, pad_d)
+                    ocoords = plan[f"plan_coords{scale_idx}"]
+                    out_grid = sparse.from_sorted_voxel_coords(
+                        jnp.zeros(
+                            (b, ocoords.shape[1], 1), grid.features.dtype),
+                        ocoords, out_shape)
+                    down_slots = plan[f"plan_conv{scale_idx}"]
+                    down_idx += 1
+            else:
+                queries = []
+                for kernel in subm_kernels:
+                    qlin, qok, _ = sparse.subm_queries(grid, kernel)
+                    queries.append((qlin, qok))
+                out_grid = None
+                if down_op is not None:
+                    _, _, kernel_d, stride_d, pad_d = down_op
+                    kernel_d = _t3(kernel_d)
+                    stride_d = _t3(stride_d)
+                    pad_d = _t3(pad_d)
+                    factor = (
+                        self.capacity_factors[down_idx]
+                        if down_idx < len(self.capacity_factors) else 1.0)
+                    cur_cap = grid.lin.shape[-1]
+                    out_cap = _out_capacity(cur_cap, factor)
+                    down_idx += 1
+                    out_grid = sparse.downsample_active_set(
+                        grid, kernel_d, stride_d, pad_d,
+                        out_capacity=out_cap)
+                    dlin, dok, _ = sparse.sparse_conv_queries(
+                        grid, out_grid, kernel_d, stride_d, pad_d)
+                    queries.append((dlin, dok))
+                results = sparse.lookup_many(
+                    grid.lin, queries, grid.sentinel)
+                rulebooks = {}
+                for kernel, (slots, found) in zip(subm_kernels, results):
+                    k = int(np.prod(kernel))
+                    rulebooks[kernel] = (
+                        slots.reshape(b, v, k), found.reshape(b, v, k))
+                down_slots = None
+                if down_op is not None:
+                    slots, _ = results[-1]
+                    kd = int(np.prod(_t3(down_op[2])))
+                    down_slots = slots.reshape(
+                        b, out_grid.lin.shape[-1], kd)
 
             for op in group:
                 if op[0] == "subm":
@@ -274,3 +414,10 @@ class SpMiddle2K(SparseMiddleBase):
 
     topology: Tuple = MIDDLE_2K_TOPOLOGY
     capacity_factors: Tuple = (0.8, 0.8, 0.7, 0.65, 0.6)
+
+
+# middle class names eligible for host-side sparse-conv planning
+SPARSE_MIDDLE_NAMES = frozenset({
+    "SpMiddleFHD", "SpMiddleFHDPeople", "SpMiddleFHDLite",
+    "SpMiddleFHDLiteHRZ", "SpMiddleFHDHRZ", "SpMiddle2K",
+})

@@ -158,12 +158,22 @@ class VoxelNet(nn.Module):
             compute_dtype=self.compute_dtype,
         )
 
-    def __call__(self, voxels, num_points, coords, train=False):
-        """voxels [B, V, T, F], num_points [B, V], coords [B, V, 3] zyx."""
+    def __call__(self, voxels, num_points, coords, train=False,
+                 sparse_plan=None):
+        """voxels [B, V, T, F], num_points [B, V], coords [B, V, 3] zyx.
+
+        sparse_plan: optional host-built rulebook dict (see
+        sparse_middle.build_host_plan); voxels/coords must then be
+        sorted by linear id per batch row.
+        """
         voxel_features = self.voxel_feature_extractor(
             voxels, num_points, coords, train=train)
-        spatial_features = self.middle_feature_extractor(
-            voxel_features, coords, train=train)
+        if sparse_plan is not None:
+            spatial_features = self.middle_feature_extractor(
+                voxel_features, coords, train=train, plan=sparse_plan)
+        else:
+            spatial_features = self.middle_feature_extractor(
+                voxel_features, coords, train=train)
         preds = self.rpn(spatial_features, train=train)
         b = voxels.shape[0]
         out = {

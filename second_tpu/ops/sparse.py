@@ -76,6 +76,18 @@ def from_voxel_coords(features, coords, shape):
     return SparseGrid(feats_s, lin_s, coords_s, tuple(int(v) for v in shape))
 
 
+def from_sorted_voxel_coords(features, coords, shape):
+    """Like :func:`from_voxel_coords` but trusts coords to be already
+    sorted by linear id with -1 padding at the end (the host planner's
+    contract) — skips the device argsort."""
+    d, h, w = shape
+    sentinel = d * h * w
+    valid = coords[..., 0] >= 0
+    lin = jnp.where(valid, linearize(coords, shape), sentinel).astype(
+        jnp.int32)
+    return SparseGrid(features, lin, coords, tuple(int(v) for v in shape))
+
+
 def _kernel_offsets(kernel_size):
     """[K, 3] zyx offsets in weight-layout order."""
     kz, ky, kx = kernel_size

@@ -44,6 +44,9 @@ def example_convert(example, dtype=np.float32):
     for k, t in device_keys.items():
         if k in example:
             out[k] = np.ascontiguousarray(example[k], dtype=t)
+    for k, v in example.items():
+        if k.startswith("plan_"):  # host-built sparse-conv rulebooks
+            out[k] = np.ascontiguousarray(v, dtype=np.int32)
     return out
 
 

@@ -38,6 +38,9 @@ def make_train_step(net, spec, tx, mesh=None):
     """
 
     def step(state, example):
+        plan = {k: v for k, v in example.items()
+                if k.startswith("plan_")}
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             preds, updated = net.apply(
@@ -46,6 +49,7 @@ def make_train_step(net, spec, tx, mesh=None):
                 example["num_points"],
                 example["coordinates"],
                 train=True,
+                sparse_plan=plan or None,
                 mutable=["batch_stats"],
             )
             res = compute_loss(spec, preds, example)
@@ -100,6 +104,8 @@ def make_eval_step(net, spec, mesh=None):
     """Returns a jitted (state, example) -> fixed-size detections fn."""
 
     def step(state, example):
+        plan = {k: v for k, v in example.items()
+                if k.startswith("plan_")}
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         preds = net.apply(
@@ -108,6 +114,7 @@ def make_eval_step(net, spec, mesh=None):
             example["num_points"],
             example["coordinates"],
             train=False,
+            sparse_plan=plan or None,
         )
         return predict(spec, preds, example)
 

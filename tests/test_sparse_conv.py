@@ -178,3 +178,48 @@ class TestSparseMiddle:
             variables, feats, coords, train=True, mutable=["batch_stats"])
         assert float(jnp.abs(out).sum()) > 0
         assert not np.any(np.isnan(np.asarray(out)))
+
+
+def test_host_plan_matches_device_path():
+    """C++ host-built rulebooks must reproduce the device lookup path
+    exactly (same static active sets, same slot semantics)."""
+    from second_tpu.native import sparse_plan as native_plan
+
+    if not native_plan.available():
+        pytest.skip("native library unavailable")
+
+    from second_tpu.models import sparse_middle as sm
+    from second_tpu.models.registry import get_middle_class
+
+    rng = np.random.RandomState(7)
+    V, C = 600, 16
+    output_shape = (1, 20, 64, 64, C)
+    shape = (21, 64, 64)
+    sentinel = shape[0] * shape[1] * shape[2]
+    n_active = 400
+    lin = np.sort(rng.choice(sentinel, size=n_active, replace=False))
+    zz = lin // (shape[1] * shape[2])
+    yy = (lin % (shape[1] * shape[2])) // shape[2]
+    xx = lin % shape[2]
+    coords = np.full((V, 3), -1, np.int32)
+    coords[:n_active] = np.stack([zz, yy, xx], -1)
+    feats = np.zeros((V, C), np.float32)
+    feats[:n_active] = rng.randn(n_active, C).astype(np.float32)
+
+    cls = get_middle_class("SpMiddleFHD")
+    mid = cls(output_shape=output_shape, num_input_features=C,
+              use_norm=True)
+    variables = mid.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats)[None],
+        jnp.asarray(coords)[None])
+    out_dev = mid.apply(
+        variables, jnp.asarray(feats)[None], jnp.asarray(coords)[None])
+
+    scales = sm.plan_scales("SpMiddleFHD", output_shape, V)
+    plan_np = sm.build_host_plan(coords, scales)
+    plan = {k: jnp.asarray(v)[None] for k, v in plan_np.items()}
+    out_plan = mid.apply(
+        variables, jnp.asarray(feats)[None], jnp.asarray(coords)[None],
+        plan=plan)
+    np.testing.assert_allclose(
+        np.asarray(out_plan), np.asarray(out_dev), atol=1e-5, rtol=1e-5)
