@@ -361,50 +361,16 @@ void noise_per_box(const double* boxes_bv, int64_t n, int64_t m,
 // Host-side sparse-convolution planning (the reference's spconv builds its
 // rulebooks on CPU per call; we do the same so the TPU program is pure
 // gather-GEMMs with no device-side hash/sort work).
+//
+// Both the active set and every per-offset query sequence are sorted by
+// linearized coordinate, so all lookups are two-pointer merges — no hash
+// tables, ~2ns per query.
 // ---------------------------------------------------------------------------
-
-#include <cstring>
-
-namespace {
-
-// open-addressing int64 -> int32 map; empty key = -1
-struct LinMap {
-  std::vector<int64_t> keys;
-  std::vector<int32_t> vals;
-  int64_t mask;
-  explicit LinMap(int64_t n) {
-    int64_t cap = 16;
-    while (cap < 2 * n) cap <<= 1;
-    keys.assign(cap, -1);
-    vals.assign(cap, 0);
-    mask = cap - 1;
-  }
-  static inline int64_t hash(int64_t k) {
-    uint64_t x = (uint64_t)k;
-    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL; x ^= x >> 33;
-    return (int64_t)x;
-  }
-  inline void insert(int64_t key, int32_t val) {
-    int64_t i = hash(key) & mask;
-    while (keys[i] != -1 && keys[i] != key) i = (i + 1) & mask;
-    if (keys[i] == -1) { keys[i] = key; vals[i] = val; }
-  }
-  inline int32_t find(int64_t key, int32_t miss) const {
-    int64_t i = hash(key) & mask;
-    while (true) {
-      if (keys[i] == key) return vals[i];
-      if (keys[i] == -1) return miss;
-      i = (i + 1) & mask;
-    }
-  }
-};
-
-}  // namespace
 
 extern "C" {
 
 // Submanifold-conv neighbor slots.
-// coords: [v_cap, 3] int32 zyx (sorted by linear id, -1 padding rows).
+// coords: [v_cap, 3] int32 zyx SORTED by linear id, -1 padding rows last.
 // offsets: [k, 3] int32 CENTERED neighbor offsets (coord + off).
 // slots out: [v_cap, k] int32; miss / padding row -> v_cap (zero dump row).
 void subm_plan(const int32_t* coords, int64_t v_cap,
@@ -412,34 +378,45 @@ void subm_plan(const int32_t* coords, int64_t v_cap,
                const int32_t* offsets, int64_t k,
                int32_t* slots) {
   const int32_t miss = (int32_t)v_cap;
-  LinMap map(v_cap);
-  int64_t hw = h * w;
-  for (int64_t i = 0; i < v_cap; ++i) {
-    if (coords[i * 3] < 0) continue;
-    int64_t lin = (int64_t)coords[i * 3] * hw +
-                  (int64_t)coords[i * 3 + 1] * w + coords[i * 3 + 2];
-    map.insert(lin, (int32_t)i);
+  const int64_t hw = h * w;
+  int64_t n = 0;
+  std::vector<int64_t> lin(v_cap);
+  for (; n < v_cap && coords[n * 3] >= 0; ++n) {
+    lin[n] = (int64_t)coords[n * 3] * hw +
+             (int64_t)coords[n * 3 + 1] * w + coords[n * 3 + 2];
   }
-  for (int64_t i = 0; i < v_cap; ++i) {
-    int32_t z = coords[i * 3], y = coords[i * 3 + 1], x = coords[i * 3 + 2];
-    if (z < 0) {
-      for (int64_t j = 0; j < k; ++j) slots[i * k + j] = miss;
-      continue;
-    }
+  for (int64_t i = n * k; i < v_cap * k; ++i) slots[i] = miss;
+  // i-outer / j-inner keeps the slot writes contiguous; one monotone
+  // merge cursor per kernel offset
+  std::vector<int64_t> dlin(k);
+  std::vector<int64_t> ti(k, 0);
+  for (int64_t j = 0; j < k; ++j) {
+    dlin[j] = (int64_t)offsets[j * 3] * hw +
+              (int64_t)offsets[j * 3 + 1] * w + offsets[j * 3 + 2];
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t z0 = coords[i * 3], y0 = coords[i * 3 + 1],
+                  x0 = coords[i * 3 + 2];
+    const int64_t li = lin[i];
+    int32_t* row = slots + i * k;
     for (int64_t j = 0; j < k; ++j) {
-      int64_t nz = z + offsets[j * 3], ny = y + offsets[j * 3 + 1],
-              nx = x + offsets[j * 3 + 2];
-      if (nz < 0 || ny < 0 || nx < 0 || nz >= d || ny >= h || nx >= w) {
-        slots[i * k + j] = miss;
-      } else {
-        slots[i * k + j] = map.find(nz * hw + ny * w + nx, miss);
+      const int64_t z = z0 + offsets[j * 3], y = y0 + offsets[j * 3 + 1],
+                    x = x0 + offsets[j * 3 + 2];
+      if (z < 0 || y < 0 || x < 0 || z >= d || y >= h || x >= w) {
+        row[j] = miss;
+        continue;
       }
+      const int64_t q = li + dlin[j];  // strictly increasing over valid i
+      int64_t t = ti[j];
+      while (t < n && lin[t] < q) ++t;
+      ti[j] = t;
+      row[j] = (t < n && lin[t] == q) ? (int32_t)t : miss;
     }
   }
 }
 
 // Strided-conv output active set + input gather slots.
-// coords: [v_cap, 3] input (sorted by lin, -1 pad). offsets: [k, 3]
+// coords: [v_cap, 3] input (sorted by lin, -1 pad last). offsets: [k, 3]
 // UNCENTERED kernel offsets (input = out*stride - pad + off).
 // out_coords: [out_cap, 3] (-1 pad), conv_slots: [out_cap, k]
 // (miss -> v_cap). Output active set = every in-bounds position whose
@@ -454,73 +431,76 @@ int64_t down_plan(const int32_t* coords, int64_t v_cap,
                   const int32_t* offsets, int64_t k,
                   int64_t out_cap,
                   int32_t* out_coords, int32_t* conv_slots) {
-  int64_t od = (d + 2 * pz - kz) / sz + 1;
-  int64_t oh = (h + 2 * py - ky) / sy + 1;
-  int64_t ow = (w + 2 * px - kx) / sx + 1;
-  int64_t ohw = oh * ow;
-  int64_t hw = h * w;
+  const int64_t od = (d + 2 * pz - kz) / sz + 1;
+  const int64_t oh = (h + 2 * py - ky) / sy + 1;
+  const int64_t ow = (w + 2 * px - kx) / sx + 1;
+  const int64_t ohw = oh * ow;
+  const int64_t hw = h * w;
   const int32_t miss = (int32_t)v_cap;
 
-  LinMap in_map(v_cap);
-  std::vector<int64_t> out_lins;
-  out_lins.reserve(out_cap * 2);
-  {
-    // hash set of candidate output ids (value unused)
-    LinMap out_set(8 * v_cap);
-    for (int64_t i = 0; i < v_cap; ++i) {
-      int32_t z = coords[i * 3], y = coords[i * 3 + 1], x = coords[i * 3 + 2];
-      if (z < 0) continue;
-      in_map.insert((int64_t)z * hw + (int64_t)y * w + x, (int32_t)i);
-      // per-dim interval of reachable outputs
-      int64_t zlo = z + pz - kz + 1, zhi = z + pz;
-      int64_t ylo = y + py - ky + 1, yhi = y + py;
-      int64_t xlo = x + px - kx + 1, xhi = x + px;
-      // o in [ceil(lo/s), floor(hi/s)] intersect [0, odim)
-      auto ceil_div = [](int64_t a, int64_t b) {
-        return a >= 0 ? (a + b - 1) / b : -((-a) / b);
-      };
-      int64_t oz0 = std::max<int64_t>(ceil_div(zlo, sz), 0);
-      int64_t oz1 = std::min(zhi / sz, od - 1);
-      int64_t oy0 = std::max<int64_t>(ceil_div(ylo, sy), 0);
-      int64_t oy1 = std::min(yhi / sy, oh - 1);
-      int64_t ox0 = std::max<int64_t>(ceil_div(xlo, sx), 0);
-      int64_t ox1 = std::min(xhi / sx, ow - 1);
-      for (int64_t oz = oz0; oz <= oz1; ++oz)
-        for (int64_t oy = oy0; oy <= oy1; ++oy)
-          for (int64_t ox = ox0; ox <= ox1; ++ox) {
-            int64_t olin = oz * ohw + oy * ow + ox;
-            if (out_set.find(olin, -2) == -2) {
-              out_set.insert(olin, 0);
-              out_lins.push_back(olin);
-            }
-          }
-    }
+  int64_t n = 0;
+  std::vector<int64_t> lin(v_cap);
+  for (; n < v_cap && coords[n * 3] >= 0; ++n) {
+    lin[n] = (int64_t)coords[n * 3] * hw +
+             (int64_t)coords[n * 3 + 1] * w + coords[n * 3 + 2];
   }
-  std::sort(out_lins.begin(), out_lins.end());
-  int64_t total = (int64_t)out_lins.size();
-  int64_t kept = std::min(total, out_cap);
-  for (int64_t o = 0; o < out_cap; ++o) {
-    if (o >= kept) {
-      out_coords[o * 3] = out_coords[o * 3 + 1] = out_coords[o * 3 + 2] = -1;
-      for (int64_t j = 0; j < k; ++j) conv_slots[o * k + j] = miss;
-      continue;
-    }
-    int64_t olin = out_lins[o];
-    int32_t oz = (int32_t)(olin / ohw);
-    int32_t oy = (int32_t)((olin % ohw) / ow);
-    int32_t ox = (int32_t)(olin % ow);
-    out_coords[o * 3] = oz;
-    out_coords[o * 3 + 1] = oy;
-    out_coords[o * 3 + 2] = ox;
+
+  auto ceil_div = [](int64_t a, int64_t b) {
+    return a >= 0 ? (a + b - 1) / b : -((-a) / b);
+  };
+  std::vector<int64_t> cands;
+  cands.reserve(n * 8);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t z = coords[i * 3], y = coords[i * 3 + 1],
+                  x = coords[i * 3 + 2];
+    const int64_t oz0 = std::max<int64_t>(ceil_div(z + pz - kz + 1, sz), 0);
+    const int64_t oz1 = std::min((z + pz) / sz, od - 1);
+    const int64_t oy0 = std::max<int64_t>(ceil_div(y + py - ky + 1, sy), 0);
+    const int64_t oy1 = std::min((y + py) / sy, oh - 1);
+    const int64_t ox0 = std::max<int64_t>(ceil_div(x + px - kx + 1, sx), 0);
+    const int64_t ox1 = std::min((x + px) / sx, ow - 1);
+    for (int64_t oz = oz0; oz <= oz1; ++oz)
+      for (int64_t oy = oy0; oy <= oy1; ++oy)
+        for (int64_t ox = ox0; ox <= ox1; ++ox)
+          cands.push_back(oz * ohw + oy * ow + ox);
+  }
+  std::sort(cands.begin(), cands.end());
+  cands.erase(std::unique(cands.begin(), cands.end()), cands.end());
+  const int64_t total = (int64_t)cands.size();
+  const int64_t kept = std::min(total, out_cap);
+
+  for (int64_t o = kept; o < out_cap; ++o) {
+    out_coords[o * 3] = out_coords[o * 3 + 1] = out_coords[o * 3 + 2] = -1;
+    for (int64_t j = 0; j < k; ++j) conv_slots[o * k + j] = miss;
+  }
+  for (int64_t o = 0; o < kept; ++o) {
+    const int64_t olin = cands[o];
+    out_coords[o * 3] = (int32_t)(olin / ohw);
+    out_coords[o * 3 + 1] = (int32_t)((olin % ohw) / ow);
+    out_coords[o * 3 + 2] = (int32_t)(olin % ow);
+  }
+  // conv slots: for a fixed kernel offset the input ids are strictly
+  // increasing over the sorted outputs -> two-pointer merge per offset;
+  // o-outer / j-inner keeps the writes contiguous
+  std::vector<int64_t> ti(k, 0);
+  for (int64_t o = 0; o < kept; ++o) {
+    const int64_t bz = (int64_t)out_coords[o * 3] * sz - pz;
+    const int64_t by = (int64_t)out_coords[o * 3 + 1] * sy - py;
+    const int64_t bx = (int64_t)out_coords[o * 3 + 2] * sx - px;
+    int32_t* row = conv_slots + o * k;
     for (int64_t j = 0; j < k; ++j) {
-      int64_t iz = (int64_t)oz * sz - pz + offsets[j * 3];
-      int64_t iy = (int64_t)oy * sy - py + offsets[j * 3 + 1];
-      int64_t ix = (int64_t)ox * sx - px + offsets[j * 3 + 2];
+      const int64_t iz = bz + offsets[j * 3];
+      const int64_t iy = by + offsets[j * 3 + 1];
+      const int64_t ix = bx + offsets[j * 3 + 2];
       if (iz < 0 || iy < 0 || ix < 0 || iz >= d || iy >= h || ix >= w) {
-        conv_slots[o * k + j] = miss;
-      } else {
-        conv_slots[o * k + j] = in_map.find(iz * hw + iy * w + ix, miss);
+        row[j] = miss;
+        continue;
       }
+      const int64_t q = iz * hw + iy * w + ix;
+      int64_t t = ti[j];
+      while (t < n && lin[t] < q) ++t;
+      ti[j] = t;
+      row[j] = (t < n && lin[t] == q) ? (int32_t)t : miss;
     }
   }
   return total;
