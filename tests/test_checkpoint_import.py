@@ -193,3 +193,89 @@ def test_full_state_dict_import_structural(tmp_path):
         np.zeros((1, 64), np.int32),
         np.full((1, 64, 3), -1, np.int32))
     assert np.isfinite(np.asarray(preds["box_preds"])).all()
+
+
+@pytest.mark.parametrize("cls_name", ["PillarFeatureNet",
+                                      "PillarFeatureNetOld"])
+def test_pfn_import_golden(cls_name):
+    """Reference PillarFeatureNet weights imported into ours must
+    reproduce the pillar features — validates both the weight mapping
+    and the pillar decoration math (cluster/center offsets)."""
+    from reference_torch import REFERENCE_ROOT, install_stubs
+    import os
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree absent")
+    install_stubs()
+    try:
+        from second.pytorch.models import pointpillars as ref_pp
+    except Exception:
+        pytest.skip("reference tree not importable")
+
+    from second_tpu.models.registry import get_vfe_class
+
+    voxel_size = (0.16, 0.16, 4.0)
+    pc_range = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
+    kwargs = dict(num_input_features=4, use_norm=True, num_filters=(64,),
+                  with_distance=False, voxel_size=voxel_size,
+                  pc_range=pc_range)
+    tref = getattr(ref_pp, cls_name)(**kwargs)
+    tref.eval()
+    for m in tref.modules():
+        if hasattr(m, "running_mean"):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.8, 1.2)
+
+    rng = np.random.RandomState(5)
+    V, T = 40, 20
+    counts = rng.randint(1, T + 1, V)
+    voxels = np.zeros((V, T, 4), np.float32)
+    coords = np.zeros((V, 4), np.int32)  # torch side: (batch, z, y, x)
+    coords[:, 2] = rng.randint(0, 496, V)
+    coords[:, 3] = rng.randint(0, 432, V)
+    for i in range(V):
+        n = counts[i]
+        cx = pc_range[0] + (coords[i, 3] + 0.5) * voxel_size[0]
+        cy = pc_range[1] + (coords[i, 2] + 0.5) * voxel_size[1]
+        voxels[i, :n, 0] = cx + rng.uniform(-0.08, 0.08, n)
+        voxels[i, :n, 1] = cy + rng.uniform(-0.08, 0.08, n)
+        voxels[i, :n, 2] = rng.uniform(-2.0, 0.5, n)
+        voxels[i, :n, 3] = rng.uniform(0, 1, n)
+
+    with torch.no_grad():
+        # .copy(): PillarFeatureNetOld mutates its input in place
+        # (pointpillars.py:126-131 writes through a view) and
+        # from_numpy shares memory with the numpy buffer
+        ref_out = tref(
+            torch.from_numpy(voxels.copy()),
+            torch.from_numpy(counts.astype(np.int64)),
+            torch.from_numpy(coords.astype(np.float32))).numpy()
+
+    mine = get_vfe_class(cls_name)(**kwargs)
+    variables = mine.init(
+        jax.random.PRNGKey(0), jnp.asarray(voxels)[None],
+        jnp.asarray(counts.astype(np.int32))[None],
+        jnp.asarray(coords[:, 1:].astype(np.int32))[None])
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    params = ci._flatten(variables["params"])
+    stats = ci._flatten(variables["batch_stats"])
+    asg = ci._Assign(dict(params), dict(stats))
+    sd = {f"voxel_feature_extractor.{k}": v
+          for k, v in tref.state_dict().items()}
+    # our VFE paths start at the module root here (no wrapping model)
+    renamed_params = {("voxel_feature_extractor",) + p: v
+                      for p, v in params.items()}
+    renamed_stats = {("voxel_feature_extractor",) + p: v
+                     for p, v in stats.items()}
+    asg = ci._Assign(dict(renamed_params), dict(renamed_stats))
+    ci._map_vfe(asg, sd)
+    assert not asg.missing, asg.missing
+    new_vars = {
+        "params": ci._unflatten(asg.params)["voxel_feature_extractor"],
+        "batch_stats": ci._unflatten(asg.stats)["voxel_feature_extractor"],
+    }
+    my_out = mine.apply(
+        new_vars, jnp.asarray(voxels)[None],
+        jnp.asarray(counts.astype(np.int32))[None],
+        jnp.asarray(coords[:, 1:].astype(np.int32))[None])
+    np.testing.assert_allclose(
+        np.asarray(my_out)[0], ref_out, atol=2e-3, rtol=1e-3)
