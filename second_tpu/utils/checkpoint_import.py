@@ -151,7 +151,8 @@ def _map_vfe(asg, state_dict):
             sd[f"{base}.pfn_layers.{i}.linear.weight"],
             _collect_norm(sd, f"{base}.pfn_layers.{i}.norm"))
         i += 1
-    # VFE v1/v2: vfe1/vfe2 (VFELayer) + trailing linear+norm
+    # VFE v1: vfe1/vfe2 (VFELayer); v2: vfe_layers ModuleList; both
+    # with a trailing linear+norm
     for j, name in enumerate(("vfe1", "vfe2")):
         if f"{base}.{name}.linear.weight" in sd:
             _map_linear_bn_relu(
@@ -160,6 +161,14 @@ def _map_vfe(asg, state_dict):
                  "LinearBNReLU_0"),
                 sd[f"{base}.{name}.linear.weight"],
                 _collect_norm(sd, f"{base}.{name}.norm"))
+    j = 0
+    while f"{base}.vfe_layers.{j}.linear.weight" in sd:
+        _map_linear_bn_relu(
+            asg,
+            ("voxel_feature_extractor", f"VFELayer_{j}", "LinearBNReLU_0"),
+            sd[f"{base}.vfe_layers.{j}.linear.weight"],
+            _collect_norm(sd, f"{base}.vfe_layers.{j}.norm"))
+        j += 1
     if f"{base}.linear.weight" in sd:
         _map_linear_bn_relu(
             asg, ("voxel_feature_extractor", "LinearBNReLU_0"),

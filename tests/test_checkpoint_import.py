@@ -279,3 +279,72 @@ def test_pfn_import_golden(cls_name):
         jnp.asarray(coords[:, 1:].astype(np.int32))[None])
     np.testing.assert_allclose(
         np.asarray(my_out)[0], ref_out, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("cls_name", ["VoxelFeatureExtractor",
+                                      "VoxelFeatureExtractorV2"])
+def test_vfe_import_golden(cls_name):
+    """Reference VFE weights imported into ours reproduce the voxel
+    features (cluster decoration + VFELayer maxpool-concat stack)."""
+    from reference_torch import REFERENCE_ROOT, install_stubs
+    import os
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree absent")
+    install_stubs()
+    try:
+        from second.pytorch.models import voxel_encoder as ref_ve
+    except Exception:
+        pytest.skip("reference tree not importable")
+
+    from second_tpu.models.registry import get_vfe_class
+
+    kwargs = dict(num_input_features=4, use_norm=True,
+                  num_filters=[16, 32], with_distance=False)
+    tref = getattr(ref_ve, cls_name)(**kwargs)
+    tref.eval()
+    for m in tref.modules():
+        if hasattr(m, "running_mean"):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.8, 1.2)
+
+    rng = np.random.RandomState(6)
+    V, T = 30, 10
+    counts = rng.randint(1, T + 1, V)
+    voxels = np.zeros((V, T, 4), np.float32)
+    for i in range(V):
+        voxels[i, :counts[i]] = rng.randn(counts[i], 4)
+    coords = np.zeros((V, 3), np.int32)
+
+    with torch.no_grad():
+        ref_out = tref(
+            torch.from_numpy(voxels.copy()),
+            torch.from_numpy(counts.astype(np.int64)),
+            None).numpy()
+
+    mine = get_vfe_class(cls_name)(
+        num_input_features=4, use_norm=True, num_filters=(16, 32),
+        with_distance=False)
+    variables = mine.init(
+        jax.random.PRNGKey(0), jnp.asarray(voxels)[None],
+        jnp.asarray(counts.astype(np.int32))[None],
+        jnp.asarray(coords)[None])
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    params = {("voxel_feature_extractor",) + p: v
+              for p, v in ci._flatten(variables["params"]).items()}
+    stats = {("voxel_feature_extractor",) + p: v
+             for p, v in ci._flatten(variables["batch_stats"]).items()}
+    asg = ci._Assign(dict(params), dict(stats))
+    sd = {f"voxel_feature_extractor.{k}": v
+          for k, v in tref.state_dict().items()}
+    ci._map_vfe(asg, sd)
+    assert not asg.missing, asg.missing
+    new_vars = {
+        "params": ci._unflatten(asg.params)["voxel_feature_extractor"],
+        "batch_stats": ci._unflatten(asg.stats)["voxel_feature_extractor"],
+    }
+    my_out = mine.apply(
+        new_vars, jnp.asarray(voxels)[None],
+        jnp.asarray(counts.astype(np.int32))[None],
+        jnp.asarray(coords)[None])
+    np.testing.assert_allclose(
+        np.asarray(my_out)[0], ref_out, atol=2e-3, rtol=1e-3)
