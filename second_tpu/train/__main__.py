@@ -175,14 +175,18 @@ def train(config_path,
                 timer.end("data_fetch")
                 yield nxt
 
+        from ..data.prefetch import DevicePrefetcher
+
+        def _prep(example):
+            return put_sharded(
+                {k: jnp.asarray(v)
+                 for k, v in example_convert(example).items()}, mesh)
+
         while step < total_step:
-            for example in _timed(loader):
+            # convert + H2D of the next batches overlaps the device step
+            for ex in _timed(DevicePrefetcher(loader, _prep)):
                 if step >= total_step:
                     break
-                with timer.scope("host_to_device"):
-                    ex = put_sharded(
-                        {k: jnp.asarray(v)
-                         for k, v in example_convert(example).items()}, mesh)
                 timer.start("train_step")
                 state, metrics = step_fn(state, ex)
                 # loss transfer below is the honest device sync
