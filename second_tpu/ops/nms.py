@@ -63,6 +63,12 @@ def _greedy_suppress(iou, valid, iou_threshold):
     iou: [n, n] pairwise IoU in score order; valid: [n] candidate mask.
     Returns keep mask [n].
     """
+    from . import pallas_nms
+
+    if pallas_nms.available():
+        # one-kernel VMEM sweep (the XLA fori_loop pays ~4us dispatch
+        # per iteration; measured 3.9ms -> <0.5ms at n=1000)
+        return pallas_nms.greedy_suppress_pallas(iou, valid, iou_threshold)
     n = iou.shape[0]
     suppress = iou > iou_threshold
 

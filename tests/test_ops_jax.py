@@ -262,3 +262,33 @@ def test_direction_target_reconstruction_roundtrip():
     rec = dir_rot + period * bins
     err = np.abs(np.angle(np.exp(1j * (rec - yaw))))
     assert err.max() < 1e-3
+
+
+def _np_greedy_ref(iou, valid, thr):
+    n = iou.shape[0]
+    suppress = np.asarray(iou) > thr
+    alive = np.asarray(valid).copy()
+    keep = np.zeros(n, bool)
+    for i in range(n):
+        if alive[i]:
+            keep[i] = True
+            alive &= ~suppress[i]
+        alive[i] = False
+    return keep
+
+
+def test_pallas_greedy_suppress_interpret_parity():
+    """Pallas greedy sweep (interpret mode on CPU) must match the
+    sequential greedy reference exactly."""
+    from second_tpu.ops.pallas_nms import greedy_suppress_pallas
+
+    rng = np.random.RandomState(11)
+    n = 200
+    # random symmetric IoU-like matrix with plenty of conflicts
+    m = rng.uniform(0, 1, (n, n))
+    iou_np = np.maximum(m, m.T)
+    valid_np = rng.rand(n) > 0.2
+    ref = _np_greedy_ref(iou_np, valid_np, 0.5)
+    got = np.asarray(greedy_suppress_pallas(
+        jnp.asarray(iou_np), jnp.asarray(valid_np), 0.5, interpret=True))
+    np.testing.assert_array_equal(got, ref)
