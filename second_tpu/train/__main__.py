@@ -224,7 +224,9 @@ def train(config_path,
                         net, spec, state, eval_dataset, batch_size,
                         num_workers, mesh, Path(result_path) / f"step_{step}")
                     if res is not None:
-                        log.log_text(res["results"]["official"], step)
+                        for name, text in res["results"].items():
+                            log.log_text(f"Evaluation {name}", step)
+                            log.log_text(text, step)
     except Exception:
         ckpt_lib.save(model_dir, state, "voxelnet", step)
         raise
@@ -232,8 +234,9 @@ def train(config_path,
     res = _run_eval(net, spec, state, eval_dataset, batch_size, num_workers,
                     mesh, Path(result_path) / "final")
     if res is not None:
-        log.log_text(res["results"]["official"], step)
-        log.log_text(res["results"]["coco"], step)
+        for name, text in res["results"].items():
+            log.log_text(f"Evaluation {name}", step)
+            log.log_text(text, step)
     log.close()
     return str(model_dir)
 
@@ -346,8 +349,9 @@ def evaluate(config_path,
             k: round(v * 1000, 2)
             for k, v in timer.get_avg_time_dict().items()})
     if res is not None:
-        print(res["results"]["official"])
-        print(res["results"]["coco"])
+        for name, text in res["results"].items():
+            print(f"Evaluation {name}")
+            print(text)
         with open(Path(result_path) / "metrics.json", "w") as f:
             json.dump(res["detail"], f, indent=2, default=str)
     return res

@@ -158,3 +158,42 @@ def test_inference_context(tmp_path):
     dets = ctx.inference(example)
     assert len(dets) == 1
     assert dets[0]["box3d_lidar"].shape[1] == 7
+
+
+def test_nuscenes_cli_train_smoke(tmp_path):
+    """Full train->eval loop over the synthetic NuScenes tree through
+    the real train() entry point with all.pp.lowa.config (shrunk)."""
+    import os
+
+    cfg_path = "/root/reference/second/configs/nuscenes/all.pp.lowa.config"
+    if not os.path.exists(cfg_path):
+        pytest.skip("reference configs absent")
+
+    from second_tpu.configs import schema
+    from second_tpu.utils import config_tool
+    from second_tpu.train.__main__ import train
+
+    info_path = make_nusc_infos(tmp_path, num_frames=8)
+    cfg = config_tool.read_config(cfg_path)
+    config_tool.change_detection_range(
+        cfg.model.second, [-20.0, -20.0, 20.0, 20.0])
+    for reader, training in ((cfg.train_input_reader, True),
+                             (cfg.eval_input_reader, False)):
+        reader.dataset.dataset_class_name = "NuScenesDataset"
+        reader.dataset.kitti_root_path = str(tmp_path)
+        reader.dataset.kitti_info_path = str(info_path)
+        reader.batch_size = 1
+        reader.preprocess.max_number_of_voxels = 3000
+        reader.preprocess.num_workers = 0
+        reader.preprocess.database_sampler = schema.Sampler.from_raw({})
+    cfg.train_config.steps = 2
+    cfg.train_config.steps_per_eval = 100
+    mod_cfg = tmp_path / "nusc_small.config"
+    mod_cfg.write_text(cfg.to_text())
+
+    model_dir = tmp_path / "model"
+    train(str(mod_cfg), str(model_dir))
+    assert (model_dir / "checkpoints.json").exists()
+    assert (model_dir / "results" / "final" / "result.pkl").exists()
+    log_txt = (model_dir / "log.txt").read_text()
+    assert "step=1" in log_txt
