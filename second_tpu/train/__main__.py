@@ -83,9 +83,16 @@ def train(config_path,
           freeze_include=None,
           freeze_exclude=None,
           measure_time=False,
+          profile_steps=0,
           batch_size=None,
           num_workers=None):
-    """Train a detector with the given pipeline config."""
+    """Train a detector with the given pipeline config.
+
+    profile_steps: if > 0, capture a jax.profiler trace of that many
+    steps (starting at step 2, after compilation) into
+    model_dir/profile — the TPU-native twin of the reference's
+    --measure_time named-region timers (voxelnet.py:191-228).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -187,11 +194,19 @@ def train(config_path,
             for ex in _timed(DevicePrefetcher(loader, _prep)):
                 if step >= total_step:
                     break
+                if profile_steps > 0 and step == start_step + 1:
+                    jax.profiler.start_trace(str(model_dir / "profile"))
                 timer.start("train_step")
                 state, metrics = step_fn(state, ex)
                 # loss transfer below is the honest device sync
                 timer.end("train_step", sync_value=metrics["loss"])
                 step += 1
+                if profile_steps > 0 and \
+                        step == start_step + 1 + profile_steps:
+                    jax.profiler.stop_trace()
+                    log.log_text(
+                        f"profiler trace written to {model_dir}/profile",
+                        step)
                 cls_stats = metrics.pop("cls_stats", None)
                 if cls_stats is not None:
                     running.update(
