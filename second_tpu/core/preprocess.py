@@ -157,6 +157,177 @@ def _select_transform(transform, indices):
     return result
 
 
+def _placement(boxes_bv, global_rot_noises):
+    """Rotate each box center around the scene origin by the global
+    noise, preserving range (reference noise_per_box_v2_ placement:
+    grot = arctan2(x, y), dst = r * (sin, cos)(grot + noise)).
+
+    Returns dst [N, M, 2] and yaw delta dg [N, M].
+    """
+    x, y = boxes_bv[:, 0], boxes_bv[:, 1]
+    r = np.sqrt(x * x + y * y)
+    grot0 = np.arctan2(x, y)
+    g = grot0[:, None] + global_rot_noises
+    dst = np.stack([r[:, None] * np.sin(g), r[:, None] * np.cos(g)],
+                   axis=-1)
+    return dst, g - grot0[:, None]
+
+
+def _candidate_corners_v2(boxes_bv, loc_noises, rot_noises,
+                          global_rot_noises):
+    """Candidates [N, M, 4, 2] with global-rotation placement. The two
+    rotations (placement yaw delta, then per-object noise about the
+    placed center) compose into one angle."""
+    n, m = rot_noises.shape
+    dst, dg = _placement(boxes_bv, global_rot_noises)
+    centers = dst + loc_noises[:, :, :2]
+    yaws = boxes_bv[:, None, 4] + dg + rot_noises
+    flat = np.concatenate([
+        centers.reshape(-1, 2),
+        np.broadcast_to(boxes_bv[:, None, 2:4], (n, m, 2)).reshape(-1, 2),
+        yaws.reshape(-1, 1),
+    ], axis=1)
+    return box_to_corners(flat).reshape(n, m, 4, 2), dst, dg
+
+
+def noise_per_box_v2(boxes_bv, valid_mask, loc_noises, rot_noises,
+                     global_rot_noises):
+    """noise_per_box with global-rotation placement (reference
+    noise_per_box_v2_, preprocess.py:394-449). Mutates loc/rot noises
+    on success so the accepted transform includes the placement."""
+    num_boxes = boxes_bv.shape[0]
+    box_corners = box_to_corners(boxes_bv)
+    candidates, dst, dg = _candidate_corners_v2(
+        boxes_bv, loc_noises, rot_noises, global_rot_noises)
+    success_mask = -np.ones((num_boxes,), dtype=np.int64)
+    for i in range(num_boxes):
+        if not valid_mask[i]:
+            continue
+        coll = box_collision_test(candidates[i], box_corners)
+        coll[:, i] = False
+        js = np.where(~coll.any(axis=1))[0]
+        if len(js) > 0:
+            j = js[0]
+            success_mask[i] = j
+            box_corners[i] = candidates[i, j]
+            loc_noises[i, j, :2] += dst[i, j] - boxes_bv[i, :2]
+            rot_noises[i, j] += dg[i, j]
+    return success_mask
+
+
+def _group_slices(group_nums):
+    idx = 0
+    for num in group_nums:
+        yield idx, int(num)
+        idx += int(num)
+
+
+def noise_per_box_group(boxes_bv, valid_mask, loc_noises, rot_noises,
+                        group_nums):
+    """Group-coherent accept/reject: a whole group's candidate set must
+    be collision-free together (reference noise_per_box_group,
+    preprocess.py:277-315). Boxes must be contiguous per group."""
+    num_boxes = boxes_bv.shape[0]
+    box_corners = box_to_corners(boxes_bv)
+    candidates = _candidate_corners(boxes_bv, loc_noises, rot_noises)
+    success_mask = -np.ones((num_boxes,), dtype=np.int64)
+    num_tries = rot_noises.shape[1]
+    for idx, num in _group_slices(group_nums):
+        if not valid_mask[idx]:
+            continue
+        for j in range(num_tries):
+            coll = box_collision_test(
+                candidates[idx:idx + num, j], box_corners)
+            coll[:, idx:idx + num] = False
+            if not coll.any():
+                success_mask[idx:idx + num] = j
+                box_corners[idx:idx + num] = candidates[idx:idx + num, j]
+                break
+    return success_mask
+
+
+def noise_per_box_group_v2(boxes_bv, valid_mask, loc_noises, rot_noises,
+                           group_nums, global_rot_noises):
+    """Group-coherent noise with global-rotation placement (reference
+    noise_per_box_group_v2_, preprocess.py:317-393)."""
+    num_boxes = boxes_bv.shape[0]
+    box_corners = box_to_corners(boxes_bv)
+    candidates, dst, dg = _candidate_corners_v2(
+        boxes_bv, loc_noises, rot_noises, global_rot_noises)
+    success_mask = -np.ones((num_boxes,), dtype=np.int64)
+    num_tries = rot_noises.shape[1]
+    for idx, num in _group_slices(group_nums):
+        if not valid_mask[idx]:
+            continue
+        for j in range(num_tries):
+            coll = box_collision_test(
+                candidates[idx:idx + num, j], box_corners)
+            coll[:, idx:idx + num] = False
+            if not coll.any():
+                sl = slice(idx, idx + num)
+                success_mask[sl] = j
+                box_corners[sl] = candidates[sl, j]
+                loc_noises[sl, j, :2] += dst[sl, j] - boxes_bv[sl, :2]
+                rot_noises[sl, j] += dg[sl, j]
+                break
+    return success_mask
+
+
+def set_group_noise_same_(loc_noise, rot_noise, group_ids,
+                          grot_noise=None):
+    """Every member of a group shares the first member's noise
+    (reference set_group_noise_same_{,v2_}, preprocess.py:541-558)."""
+    first = {}
+    for i, gid in enumerate(group_ids):
+        first.setdefault(gid, i)
+    src = np.array([first[g] for g in group_ids])
+    loc_noise[:] = loc_noise[src]
+    rot_noise[:] = rot_noise[src]
+    if grot_noise is not None:
+        grot_noise[:] = grot_noise[src]
+
+
+def get_group_center(locs, group_ids):
+    """Per-box center of its group + per-group member counts in
+    first-appearance order (reference preprocess.py:561-580)."""
+    from collections import OrderedDict
+
+    sums = OrderedDict()
+    counts = OrderedDict()
+    for i, gid in enumerate(group_ids):
+        if gid < 0:
+            continue
+        if gid in sums:
+            sums[gid] = sums[gid] + locs[i]
+            counts[gid] += 1
+        else:
+            sums[gid] = locs[i].copy()
+            counts[gid] = 1
+    centers = np.zeros_like(locs)
+    for i, gid in enumerate(group_ids):
+        centers[i] = sums[gid] / counts[gid]
+    return centers, counts
+
+
+def group_transform_(loc_noise, rot_noise, locs, group_center, valid_mask,
+                     grot_noise=None):
+    """Make the per-object rotation orbit the GROUP center: adds the
+    center-relative displacement to the location noise (reference
+    group_transform_{,v2_}, preprocess.py:487-537)."""
+    x = locs[:, 0] - group_center[:, 0]
+    y = locs[:, 1] - group_center[:, 1]
+    r = np.sqrt(x * x + y * y)
+    rot_center = np.arctan2(x, y)
+    base = rot_center[:, None]
+    if grot_noise is not None:
+        base = base + grot_noise
+    add_x = r[:, None] * (np.sin(base + rot_noise) - np.sin(base))
+    add_y = r[:, None] * (np.cos(base + rot_noise) - np.cos(base))
+    vm = valid_mask[:, None]
+    loc_noise[:, :, 0] += np.where(vm, add_x, 0.0)
+    loc_noise[:, :, 1] += np.where(vm, add_y, 0.0)
+
+
 def noise_per_object_v3_(gt_boxes,
                          points=None,
                          valid_mask=None,
@@ -179,16 +350,10 @@ def noise_per_object_v3_(gt_boxes,
     enable_grot = (
         np.abs(global_random_rot_range[0] - global_random_rot_range[1])
         >= 1e-3)
-    if enable_grot:
-        raise NotImplementedError(
-            "global_random_rotation_range_per_object != 0 is not ported; "
-            "every bundled config uses [0, 0]")
-    if group_ids is not None:
-        raise NotImplementedError("group-id noise not ported yet")
     if not isinstance(center_noise_std, (list, tuple, np.ndarray)):
         center_noise_std = [center_noise_std] * 3
     if all(c == 0 for c in center_noise_std) and all(
-            c == 0 for c in rotation_perturb):
+            c == 0 for c in rotation_perturb) and not enable_grot:
         return
     if valid_mask is None:
         valid_mask = np.ones((num_boxes,), dtype=np.bool_)
@@ -197,14 +362,49 @@ def noise_per_object_v3_(gt_boxes,
         scale=center_noise_std, size=[num_boxes, num_try, 3])
     rot_noises = np.random.uniform(
         rotation_perturb[0], rotation_perturb[1], size=[num_boxes, num_try])
+    global_rot_noises = None
+    if enable_grot:
+        # per-object placement noise relative to the box's bearing
+        # (reference voxelnet semantics: grot range is absolute, so the
+        # sampled delta is range - current bearing)
+        gt_grots = np.arctan2(gt_boxes[:, 0], gt_boxes[:, 1])
+        global_rot_noises = np.random.uniform(
+            (global_random_rot_range[0] - gt_grots)[:, None],
+            (global_random_rot_range[1] - gt_grots)[:, None],
+            size=[num_boxes, num_try])
+
+    group_nums = None
+    if group_ids is not None:
+        set_group_noise_same_(
+            loc_noises, rot_noises, group_ids, grot_noise=global_rot_noises)
+        group_centers, group_counts = get_group_center(
+            gt_boxes[:, :3], group_ids)
+        group_transform_(
+            loc_noises, rot_noises, gt_boxes[:, :3], group_centers,
+            valid_mask, grot_noise=global_rot_noises)
+        group_nums = np.array(list(group_counts.values()), dtype=np.int64)
 
     # point membership BEFORE transforming (original box extents)
     gt_box_corners = box_ops.center_to_corner_box3d(
         gt_boxes[:, :3], gt_boxes[:, 3:6], gt_boxes[:, 6],
         origin=(0.5, 0.5, 0.5), axis=2)
 
-    selected = noise_per_box(
-        gt_boxes[:, [0, 1, 3, 4, 6]], valid_mask, loc_noises, rot_noises)
+    boxes_bv = gt_boxes[:, [0, 1, 3, 4, 6]]
+    if group_ids is not None:
+        if enable_grot:
+            selected = noise_per_box_group_v2(
+                boxes_bv, valid_mask, loc_noises, rot_noises, group_nums,
+                global_rot_noises)
+        else:
+            selected = noise_per_box_group(
+                boxes_bv, valid_mask, loc_noises, rot_noises, group_nums)
+    elif enable_grot:
+        selected = noise_per_box_v2(
+            boxes_bv, valid_mask, loc_noises, rot_noises,
+            global_rot_noises)
+    else:
+        selected = noise_per_box(
+            boxes_bv, valid_mask, loc_noises, rot_noises)
     loc_transforms = _select_transform(loc_noises, selected)
     rot_transforms = _select_transform(rot_noises, selected)
 
