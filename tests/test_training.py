@@ -51,6 +51,63 @@ def test_schedules_exp_decay():
     assert float(lr_fn(950)) == pytest.approx(1e-3 * 0.8**9, rel=1e-5)
 
 
+def test_schedules_multi_phase_vs_reference():
+    """Value-level parity with the reference phase engine
+    (torchplus/train/learning_schedules_fastai.py:7-56), run in place
+    with a fake optimizer."""
+    import sys
+
+    from reference_torch import install_stubs
+
+    install_stubs()
+    sys.path.insert(0, "/root/reference")
+    try:
+        from torchplus.train.learning_schedules_fastai import LRSchedulerStep
+    finally:
+        sys.path.pop(0)
+
+    total = 200
+    lr_phases = [
+        (0.0, "lambda x: 0.001 * (1 - 0.9 * x)"),
+        (0.4, "lambda x: 0.0005 * cos(x * pi / 2)"),
+        (0.8, "lambda x: 0.0001"),
+    ]
+    mom_phases = [
+        (0.0, "lambda x: 0.95 - 0.1 * x"),
+        (0.4, "lambda x: 0.85 + 0.1 * x"),
+        (0.8, "lambda x: 0.95"),
+    ]
+
+    class FakeOpt:
+        lr = 0.0
+        mom = 0.0
+
+    import math
+
+    ref_env = {"cos": math.cos, "pi": math.pi}
+    ref_phases = [(s, eval(f, ref_env)) for s, f in lr_phases]
+    ref_mom = [(s, eval(f, ref_env)) for s, f in mom_phases]
+    opt = FakeOpt()
+    ref = LRSchedulerStep(opt, total, ref_phases, ref_mom)
+
+    lr_fn, mom_fn = schedules.multi_phase(total, lr_phases, mom_phases)
+    for step in [0, 1, 50, 79, 80, 81, 120, 159, 160, 199]:
+        ref.step(step)
+        assert float(lr_fn(step)) == pytest.approx(opt.lr, rel=1e-5), step
+        assert float(mom_fn(step)) == pytest.approx(opt.mom, rel=1e-5), step
+
+
+def test_multi_phase_lambda_rejects_unsafe():
+    with pytest.raises(ValueError):
+        schedules.parse_lambda("lambda x: __import__('os')")
+    with pytest.raises(ValueError):
+        schedules.parse_lambda("lambda x: open('/etc/passwd')")
+    with pytest.raises(ValueError):
+        schedules.parse_lambda("0.001")
+    fn = schedules.parse_lambda("lambda x: annealing_cos(0.1, 0.01, x)")
+    assert float(fn(0.0)) == pytest.approx(0.1)
+
+
 def test_overfit_synthetic(setup):
     cfg, parts, ex = setup
     net, spec = parts["net"], parts["spec"]

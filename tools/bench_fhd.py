@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""car.fhd (SECOND sparse middle) inference benchmark with stage breakdown.
+
+Measures, on one chip:
+  * full e2e device program (VFE + sparse middle + RPN + decode + NMS)
+  * middle-only / rpn-only / predict-only sub-programs
+  * host planning cost (C++ rulebook builder)
+for f32 and bf16, at batch sizes 1/2/4.
+
+Timing note: block_until_ready does not synchronize on the tunneled
+axon backend; every measurement dispatches N iterations then forces ONE
+small host transfer.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def sync(x):
+    return np.asarray(x).ravel()[:1]
+
+
+def timeit(fn, sync_out, iters=20):
+    fn()  # warm
+    sync_out()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    sync_out()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--max_voxels", type=int, default=17000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--stages", action="store_true",
+                    help="also time middle/rpn/predict sub-programs")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from second_tpu.builders import build_network
+    from second_tpu.data.synthetic import make_kitti_scene
+    from second_tpu.models import sparse_middle as sm
+    from second_tpu.models.voxelnet import predict
+    from second_tpu.utils.config_tool import read_config
+
+    cfg = read_config("/root/reference/second/configs/car.fhd.config")
+    compute_dtype = None if args.dtype == "float32" else args.dtype
+    parts = build_network(cfg.model.second, compute_dtype=compute_dtype)
+    net, spec, gen = parts["net"], parts["spec"], parts["voxel_generator"]
+    anchors = parts["anchor_cache"]["anchors"].astype(np.float32)
+
+    B = args.batch
+    V = args.max_voxels
+    T = gen.max_num_points_per_voxel
+    rng = np.random.RandomState(0)
+    points, _, _ = make_kitti_scene(rng)
+    print(f"scene: {len(points)} points")
+
+    t0 = time.perf_counter()
+    res = gen.generate_multi_gpu(points, max_voxels=V)
+    t_vox = time.perf_counter() - t0
+    n = int(res["voxel_num"])
+    print(f"host voxelize: {t_vox*1e3:.2f} ms, {n} voxels (cap {V})")
+
+    voxels = np.zeros((B, V, T, 4), np.float32)
+    num_points = np.zeros((B, V), np.int32)
+    coords = np.full((B, V, 3), -1, np.int32)
+    for b in range(B):
+        voxels[b] = res["voxels"]
+        num_points[b] = res["num_points_per_voxel"]
+        coords[b, :n] = res["coordinates"][:n]
+
+    # host plan
+    grid_size = gen.grid_size
+    output_shape = [1] + grid_size[::-1].tolist() + [16]
+    scales = sm.plan_scales("SpMiddleFHD", output_shape, V)
+    t0 = time.perf_counter()
+    plan_np = sm.build_host_plan(coords[0], scales)
+    t_plan = time.perf_counter() - t0
+    print(f"host plan: {t_plan*1e3:.2f} ms/frame (1 core)")
+    for i, sc in enumerate(scales):
+        if sc["out_cap"]:
+            na = int((plan_np[f"plan_coords{i}"][:, 0] >= 0).sum())
+            print(f"  scale{i}: out_cap={sc['out_cap']} active={na} "
+                  f"({na/sc['out_cap']:.0%})")
+    plan = {k: jnp.asarray(np.broadcast_to(v[None], (B,) + v.shape))
+            for k, v in plan_np.items()}
+
+    variables = net.init(
+        jax.random.PRNGKey(0), voxels[:1], num_points[:1], coords[:1])
+    anchors_b = jnp.asarray(
+        np.broadcast_to(anchors[None], (B,) + anchors.shape))
+    vx, npts, crd = jnp.asarray(voxels), jnp.asarray(num_points), \
+        jnp.asarray(coords)
+
+    @jax.jit
+    def e2e(variables, vx, npts, crd, plan):
+        preds = net.apply(variables, vx, npts, crd, sparse_plan=plan)
+        return predict(spec, preds, {"anchors": anchors_b})
+
+    dt = timeit(lambda: e2e(variables, vx, npts, crd, plan),
+                lambda: sync(e2e(variables, vx, npts, crd, plan)["scores"]),
+                args.iters)
+    print(f"e2e host-planned [{args.dtype} B={B}]: {dt*1e3:.2f} ms/batch = "
+          f"{B/dt:.1f} fps")
+
+    @jax.jit
+    def e2e_noplan(variables, vx, npts, crd):
+        preds = net.apply(variables, vx, npts, crd)
+        return predict(spec, preds, {"anchors": anchors_b})
+
+    dt = timeit(lambda: e2e_noplan(variables, vx, npts, crd),
+                lambda: sync(e2e_noplan(variables, vx, npts, crd)["scores"]),
+                args.iters)
+    print(f"e2e all-device  [{args.dtype} B={B}]: {dt*1e3:.2f} ms/batch = "
+          f"{B/dt:.1f} fps")
+
+    if not args.stages:
+        return
+
+    # stage breakdown (host-planned path)
+    mid = net.middle_feature_extractor
+    vfe = net.voxel_feature_extractor
+    rpn = net.rpn
+
+    vfe_vars = {"params": variables["params"]["voxel_feature_extractor"],
+                **({"batch_stats":
+                    variables["batch_stats"]["voxel_feature_extractor"]}
+                   if "batch_stats" in variables and
+                   "voxel_feature_extractor" in variables.get(
+                       "batch_stats", {}) else {})}
+    mid_vars = {"params": variables["params"]["middle_feature_extractor"]}
+    if "batch_stats" in variables:
+        bs = variables["batch_stats"]
+        if "middle_feature_extractor" in bs:
+            mid_vars["batch_stats"] = bs["middle_feature_extractor"]
+    rpn_vars = {"params": variables["params"]["rpn"]}
+    if "batch_stats" in variables:
+        bs = variables["batch_stats"]
+        if "rpn" in bs:
+            rpn_vars["batch_stats"] = bs["rpn"]
+
+    @jax.jit
+    def vfe_fn(v, vx, npts, crd):
+        return vfe.apply(v, vx, npts, crd)
+
+    vfeats = vfe_fn(vfe_vars, vx, npts, crd)
+    dt = timeit(lambda: vfe_fn(vfe_vars, vx, npts, crd),
+                lambda: sync(vfe_fn(vfe_vars, vx, npts, crd)), args.iters)
+    print(f"  vfe:     {dt*1e3:.2f} ms")
+
+    @jax.jit
+    def mid_fn(v, f, crd, plan):
+        return mid.apply(v, f, crd, plan=plan)
+
+    bev = mid_fn(mid_vars, vfeats, crd, plan)
+    dt = timeit(lambda: mid_fn(mid_vars, vfeats, crd, plan),
+                lambda: sync(mid_fn(mid_vars, vfeats, crd, plan)),
+                args.iters)
+    print(f"  middle:  {dt*1e3:.2f} ms (host-planned)")
+
+    @jax.jit
+    def mid_noplan(v, f, crd):
+        return mid.apply(v, f, crd)
+
+    dt = timeit(lambda: mid_noplan(mid_vars, vfeats, crd),
+                lambda: sync(mid_noplan(mid_vars, vfeats, crd)), args.iters)
+    print(f"  middle:  {dt*1e3:.2f} ms (all-device)")
+
+    @jax.jit
+    def rpn_fn(v, bev):
+        return rpn.apply(v, bev)
+
+    preds = rpn_fn(rpn_vars, bev)
+    dt = timeit(lambda: rpn_fn(rpn_vars, bev),
+                lambda: sync(rpn_fn(rpn_vars, bev)["box_preds"]), args.iters)
+    print(f"  rpn:     {dt*1e3:.2f} ms")
+
+    @jax.jit
+    def pred_fn(preds):
+        return predict(spec, preds, {"anchors": anchors_b})
+
+    dt = timeit(lambda: pred_fn(preds),
+                lambda: sync(pred_fn(preds)["scores"]), args.iters)
+    print(f"  predict: {dt*1e3:.2f} ms (decode+NMS)")
+
+
+if __name__ == "__main__":
+    main()
