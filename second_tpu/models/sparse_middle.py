@@ -102,15 +102,21 @@ def plan_scales(middle_class_name, output_shape, max_voxels):
     return scales
 
 
-def build_host_plan(coords, scales):
+def build_host_plan(coords, scales, return_counts=False):
     """Run the C++ planner over every scale. coords: [V, 3] int32 zyx
     sorted by linear id with -1 padding rows. Returns a flat dict of
     int32 arrays: plan_subm{i} [V_i, 27], plan_coords{i} [V_{i+1}, 3],
-    plan_conv{i} [V_{i+1}, K]."""
+    plan_conv{i} [V_{i+1}, K].
+
+    Overflow (true active count > static capacity at any stage — spconv
+    itself never drops voxels) logs a loud warning with the remedy;
+    return_counts=True additionally returns {scale: (true, cap)}.
+    """
     from ..native import sparse_plan as native_plan
     from ..ops.sparse import _kernel_offsets
 
     plan = {}
+    counts = {}
     for i, sc in enumerate(scales):
         shape = sc["shape"]
         if sc["subm_kernels"]:
@@ -125,13 +131,38 @@ def build_host_plan(coords, scales):
         if sc["down"] is not None:
             kernel, stride, padding = sc["down"]
             offs = _kernel_offsets(kernel)
-            out_coords, conv_slots, _ = native_plan.down_plan(
+            out_coords, conv_slots, total = native_plan.down_plan(
                 coords, shape, kernel, stride, padding, offs,
                 sc["out_cap"])
+            counts[i] = (total, sc["out_cap"])
+            if total > sc["out_cap"]:
+                _warn_overflow(i, total, sc["out_cap"])
             plan[f"plan_coords{i}"] = out_coords
             plan[f"plan_conv{i}"] = conv_slots
             coords = out_coords
+    if return_counts:
+        return plan, counts
     return plan
+
+
+_overflow_warned = set()
+
+
+def _warn_overflow(scale_idx, total, cap):
+    """Loud, once-per-scale warning: dropped voxels change detections
+    silently otherwise (spconv never drops — middle.py:199-209)."""
+    import logging
+
+    key = scale_idx
+    if key in _overflow_warned:
+        return
+    _overflow_warned.add(key)
+    logging.getLogger(__name__).warning(
+        "sparse active-set OVERFLOW at downsample stage %d: %d active "
+        "voxels > static capacity %d — %d voxels DROPPED. Raise "
+        "capacity_factors on the middle class (or lower "
+        "max_number_of_voxels). Detections may be lost.",
+        scale_idx, total, cap, total - cap)
 
 
 # topology ops: ("subm", out_ch, kernel) | ("down", out_ch, kernel, stride, pad)
@@ -209,12 +240,17 @@ class SparseMiddleBase(nn.Module):
     num_filters_down2: Sequence[int] = (64, 64)
     topology: Tuple = FHD_TOPOLOGY
     compute_dtype: str = None
-    # static active-set capacity multiplier per downsample stage: each
-    # stride-2 stage merges voxels so the true active count shrinks
-    # (~0.6x on KITTI); shrinking the static capacity shrinks every
-    # downstream gather/GEMM. Sized with headroom; overflowing voxels
-    # (beyond capacity, sorted by linear id) would be dropped.
-    capacity_factors: Tuple = (0.8, 0.7, 0.65, 0.6)
+    # Static active-set capacity multiplier per downsample stage.
+    # IMPORTANT: spconv's strided conv DILATES the active set (every
+    # output whose kernel window touches an input is active,
+    # middle.py:199-209 semantics): measured on KITTI-scale scenes
+    # (~17k input voxels, car.fhd grid) the per-stage TRUE ratios are
+    # ~2.9x, ~1.05x, ~0.56x, ~0.9x.  Factors are sized above those with
+    # headroom; overflow (true count > capacity) drops voxels and is
+    # surfaced via the host planner's warning (build_host_plan) and the
+    # "intermediates" sow'd active counts on the device path — raise
+    # these factors if it ever fires.
+    capacity_factors: Tuple = (3.25, 1.05, 0.56, 0.88)
 
     @nn.compact
     def __call__(self, voxel_features, coords, train=False, plan=None):
@@ -298,9 +334,17 @@ class SparseMiddleBase(nn.Module):
                     cur_cap = grid.lin.shape[-1]
                     out_cap = _out_capacity(cur_cap, factor)
                     down_idx += 1
-                    out_grid = sparse.downsample_active_set(
+                    out_grid, true_count = sparse.downsample_active_set(
                         grid, kernel_d, stride_d, pad_d,
-                        out_capacity=out_cap)
+                        out_capacity=out_cap, return_count=True)
+                    # overflow observability (host path warns in
+                    # build_host_plan): true vs capacity per stage,
+                    # readable via mutable=["intermediates"]
+                    self.sow(
+                        "intermediates", f"active_scale{scale_idx}",
+                        jnp.stack([true_count,
+                                   jnp.full_like(true_count, out_cap)],
+                                  axis=-1))
                     dlin, dok, _ = sparse.sparse_conv_queries(
                         grid, out_grid, kernel_d, stride_d, pad_d)
                     queries.append((dlin, dok))
@@ -382,6 +426,7 @@ class SpMiddleFHDPeople(SparseMiddleBase):
     """3-stage variant for pedestrian/cyclist grids (middle.py:212-299)."""
 
     topology: Tuple = FHD_PEOPLE_TOPOLOGY
+    capacity_factors: Tuple = (3.25, 1.1, 1.0)
 
 
 @register_middle
@@ -396,7 +441,7 @@ class SpMiddleFHDLiteHRZ(SparseMiddleBase):
     """Downsample-only, taller-z grid (middle.py:485-553)."""
 
     topology: Tuple = FHD_LITE_HRZ_TOPOLOGY
-    capacity_factors: Tuple = (0.8, 0.7, 0.65, 0.6, 0.6)
+    capacity_factors: Tuple = (3.25, 1.05, 0.6, 0.95, 0.95)
 
 
 @register_middle
@@ -404,7 +449,7 @@ class SpMiddleFHDHRZ(SparseMiddleBase):
     """FHD with 5 downsample stages for taller z (middle.py:554-642)."""
 
     topology: Tuple = FHD_HRZ_TOPOLOGY
-    capacity_factors: Tuple = (0.8, 0.7, 0.65, 0.6, 0.6)
+    capacity_factors: Tuple = (3.25, 1.05, 0.6, 0.95, 0.95)
 
 
 @register_middle
@@ -413,7 +458,7 @@ class SpMiddle2K(SparseMiddleBase):
     (middle.py:301-415)."""
 
     topology: Tuple = MIDDLE_2K_TOPOLOGY
-    capacity_factors: Tuple = (0.8, 0.8, 0.7, 0.65, 0.6)
+    capacity_factors: Tuple = (3.25, 1.1, 1.1, 0.7, 0.9)
 
 
 # middle class names eligible for host-side sparse-conv planning

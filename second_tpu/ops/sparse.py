@@ -236,12 +236,20 @@ def subm_conv(grid: SparseGrid, rulebook, weights, bias=None):
 
 
 def downsample_active_set(grid: SparseGrid, kernel_size, stride, padding,
-                          out_capacity=None):
+                          out_capacity=None, return_count=False):
     """Output active set of a strided sparse conv (spconv semantics:
     every output position whose kernel window contains an active input).
 
+    NOTE: a strided sparse conv DILATES the active set — every output
+    whose 3^3 window touches an input is active, ~2.8x the input count
+    for the first stride-2 stage on KITTI-scale scenes — so
+    out_capacity must be sized accordingly (see
+    SparseMiddleBase.capacity_factors).
+
     Returns a new SparseGrid with zero features ([B, Vout, Cout-less])
-    plus its shape; feature computation happens in sparse_conv.
+    plus its shape; feature computation happens in sparse_conv.  With
+    return_count=True also returns the TRUE unique-output count [B]
+    (before truncation to out_capacity) so overflow is observable.
     """
     d, h, w = grid.shape
     kz, ky, kx = kernel_size
@@ -320,12 +328,15 @@ def downsample_active_set(grid: SparseGrid, kernel_size, stride, padding,
     new_coords = jnp.where(
         new_valid[..., None],
         jnp.stack([zz, yy, xx], axis=-1), -1).astype(jnp.int32)
-    return SparseGrid(
+    out = SparseGrid(
         features=jnp.zeros((b, vout, 1), grid.features.dtype),
         lin=new_lin,
         coords=new_coords,
         shape=tuple(int(s) for s in out_shape),
     )
+    if return_count:
+        return out, is_new.sum(axis=-1)
+    return out
 
 
 def sparse_conv_queries(grid: SparseGrid, out_grid: SparseGrid,

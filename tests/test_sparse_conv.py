@@ -223,3 +223,67 @@ def test_host_plan_matches_device_path():
         plan=plan)
     np.testing.assert_allclose(
         np.asarray(out_plan), np.asarray(out_dev), atol=1e-5, rtol=1e-5)
+
+
+def test_no_overflow_at_kitti_scale():
+    """Default capacity_factors must hold the TRUE dilated active sets
+    of KITTI-scale scenes at every stage (spconv never drops voxels,
+    middle.py:199-209); measured first-stage dilation is ~2.9x."""
+    from second_tpu.native import sparse_plan as native_plan
+
+    if not native_plan.available():
+        pytest.skip("native library unavailable")
+
+    from second_tpu.builders import build_network
+    from second_tpu.data.synthetic import make_kitti_scene
+    from second_tpu.models import sparse_middle as sm
+    from second_tpu.utils.config_tool import read_config
+
+    cfg_path = "/root/reference/second/configs/car.fhd.config"
+    cfg = read_config(cfg_path)
+    gen = build_network(cfg.model.second)["voxel_generator"]
+    V = 17000  # train-time max_number_of_voxels (car.fhd.config:127)
+    grid_size = gen.grid_size
+    output_shape = [1] + grid_size[::-1].tolist() + [16]
+    scales = sm.plan_scales("SpMiddleFHD", output_shape, V)
+    for seed in (0, 1):
+        rng = np.random.RandomState(seed)
+        pts, _, _ = make_kitti_scene(rng, num_cars=25, num_points=22000)
+        res = gen.generate_multi_gpu(pts, max_voxels=V)
+        n = int(res["voxel_num"])
+        coords = np.full((V, 3), -1, np.int32)
+        coords[:n] = res["coordinates"][:n]
+        _, counts = sm.build_host_plan(coords, scales, return_counts=True)
+        for i, (true, cap) in counts.items():
+            assert true <= cap, (
+                f"seed {seed} stage {i}: {true} active > capacity {cap}")
+
+
+def test_overflow_is_surfaced(caplog):
+    """Forcing a tiny capacity must log a loud warning, not drop
+    voxels silently."""
+    import logging
+
+    from second_tpu.native import sparse_plan as native_plan
+
+    if not native_plan.available():
+        pytest.skip("native library unavailable")
+
+    from second_tpu.models import sparse_middle as sm
+
+    sm._overflow_warned.clear()
+    rng = np.random.RandomState(3)
+    V = 512
+    shape = (21, 64, 64)
+    sentinel = shape[0] * shape[1] * shape[2]
+    lin = np.sort(rng.choice(sentinel, size=V, replace=False))
+    coords = np.stack([lin // (shape[1] * shape[2]),
+                       (lin % (shape[1] * shape[2])) // shape[2],
+                       lin % shape[2]], -1).astype(np.int32)
+    scales = sm.plan_scales("SpMiddleFHD", (1, 20, 64, 64, 16), V)
+    scales[0]["out_cap"] = 64  # force overflow at stage 0
+    with caplog.at_level(logging.WARNING):
+        _, counts = sm.build_host_plan(coords, scales, return_counts=True)
+    assert counts[0][0] > 64
+    assert any("OVERFLOW" in r.message for r in caplog.records)
+    sm._overflow_warned.clear()
