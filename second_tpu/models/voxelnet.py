@@ -55,7 +55,7 @@ class ModelSpec:
     use_direction_classifier: bool = True
     num_direction_bins: int = 2
     dir_offset: float = 0.0
-    dir_limit_offset: float = 1.0
+    dir_limit_offset: float = 0.0
     # box coder
     linear_dim: bool = False
     vec_encode: bool = False
@@ -339,18 +339,20 @@ def _single_frame_predict(spec: ModelSpec, box_preds, cls_preds, dir_preds,
         dirs = dir_labels[gi]
 
     if spec.use_direction_classifier:
-        # Reference (voxelnet.py:598-607) reconstructs with
-        # limit_period(yaw - dir_offset, dir_limit_offset, period), but the
-        # training targets (voxelnet.py:814-829) bin with limit offset 0.
-        # Any nonzero dir_limit_offset (e.g. the fhd configs'
-        # direction_limit_offset: 1) therefore flips every yaw by
-        # period*limit_offset — which silently zeroes AOS while leaving
-        # 3D/BEV AP intact (rotated IoU is pi-symmetric). We deliberately
-        # deviate: always reconstruct with offset 0 so predict inverts
-        # get_direction_target exactly.
+        # Reference parity (voxelnet.py:598-607): reconstruct with
+        # limit_period(yaw - dir_offset, dir_limit_offset, period), honouring
+        # the config's direction_limit_offset.  NOTE: training targets
+        # (voxelnet.py:814-829) bin with limit offset 0, so a nonzero
+        # dir_limit_offset (the fhd configs set 1) flips every yaw by
+        # period*limit_offset relative to the ground truth — matching the
+        # reference bit-for-bit (required when importing reference-trained
+        # checkpoints), at the cost of AOS (3D/BEV AP is unaffected; rotated
+        # IoU is pi-symmetric).  Configs that leave direction_limit_offset
+        # unset (proto default 0) get the corrected reconstruction that
+        # exactly inverts get_direction_target.
         period = 2 * jnp.pi / spec.num_direction_bins
         dir_rot = box_ops_jax.limit_period(
-            boxes[..., 6] - spec.dir_offset, 0.0, period)
+            boxes[..., 6] - spec.dir_offset, spec.dir_limit_offset, period)
         yaw = dir_rot + spec.dir_offset + period * dirs.astype(boxes.dtype)
         boxes = boxes.at[..., 6].set(yaw)
 

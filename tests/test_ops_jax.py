@@ -232,13 +232,11 @@ def test_ghm_losses():
 
 
 def test_direction_target_reconstruction_roundtrip():
-    """predict-time yaw reconstruction must invert get_direction_target.
-
-    Guards the deliberate deviation in voxelnet._single_frame_predict:
-    upstream (voxelnet.py:602-606) reconstructs with the config's
-    direction_limit_offset, which flips yaw by pi when it is 1 (the fhd
-    configs), silently zeroing AOS. We always reconstruct with offset 0.
-    """
+    """predict-time yaw reconstruction must invert get_direction_target
+    when direction_limit_offset is 0 (the proto default / corrected
+    mode; voxelnet._single_frame_predict honours the config value —
+    nonzero offsets reproduce upstream voxelnet.py:602-606 for
+    checkpoint-import parity, see test_dir_limit_offset_parity)."""
     from second_tpu.ops import losses as L
     from second_tpu.core import box_ops as box_ops_jax
 
@@ -262,6 +260,57 @@ def test_direction_target_reconstruction_roundtrip():
     rec = dir_rot + period * bins
     err = np.abs(np.angle(np.exp(1j * (rec - yaw))))
     assert err.max() < 1e-3
+
+
+def test_dir_limit_offset_parity():
+    """With a nonzero dir_limit_offset, predict's yaw reconstruction
+    must match the reference formula (voxelnet.py:598-607) exactly:
+    dir_rot = limit_period(yaw - dir_offset, dir_limit_offset, period);
+    yaw = dir_rot + dir_offset + period * dir_label."""
+    from second_tpu.models.voxelnet import ModelSpec, _single_frame_predict
+
+    rng = np.random.RandomState(1)
+    n = 64
+    spec = ModelSpec(
+        num_class=1, box_code_size=7, num_anchor_per_loc=2,
+        use_direction_classifier=True, dir_offset=0.78539816,
+        dir_limit_offset=1.0,
+        nms_score_thresholds=(0.0,), nms_pre_max_sizes=(n,),
+        nms_post_max_sizes=(n,), nms_iou_thresholds=(1.01,),
+        use_rotate_nms=False)
+    anchors = np.zeros((n, 7), np.float32)
+    anchors[:, 3:6] = 1.0
+    anchors[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    anchors[:, :2] = rng.uniform(-20, 20, (n, 2))
+    box_preds = rng.uniform(-0.2, 0.2, (n, 7)).astype(np.float32)
+    cls_preds = rng.uniform(-2, 2, (n, 1)).astype(np.float32)
+    dir_preds = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    out = _single_frame_predict(
+        spec, jnp.asarray(box_preds), jnp.asarray(cls_preds),
+        jnp.asarray(dir_preds), jnp.asarray(anchors), None)
+    # reference formula on the same decoded boxes (order may differ
+    # post-NMS, so compare as sets keyed by x-coordinate)
+    decoded = np.asarray(spec.decode(jnp.asarray(box_preds),
+                                     jnp.asarray(anchors)))
+    dirs = dir_preds.argmax(-1)
+    period = np.pi
+    dir_rot = decoded[:, 6] - spec.dir_offset
+    dir_rot = dir_rot - np.floor(
+        dir_rot / period + spec.dir_limit_offset) * period
+    yaw_ref = dir_rot + spec.dir_offset + period * dirs
+    ref_by_x = {round(float(x), 4): float(y)
+                for x, y in zip(decoded[:, 0], yaw_ref)}
+    got_boxes = np.asarray(out["box3d_lidar"])
+    got_valid = np.asarray(out["valid"])
+    checked = 0
+    for b, v in zip(got_boxes, got_valid):
+        if not v:
+            continue
+        key = round(float(b[0]), 4)
+        assert key in ref_by_x
+        assert abs(float(b[6]) - ref_by_x[key]) < 1e-4
+        checked += 1
+    assert checked >= n // 2
 
 
 def _np_greedy_ref(iou, valid, thr):
