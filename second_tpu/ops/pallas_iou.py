@@ -120,12 +120,13 @@ def _iou_kernel(bi_ref, bj_ref, out_ref):
     out_ref[:] = inter / jnp.where(union <= 0, 1.0, union)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def rotated_iou_matrix_pallas(boxes1, boxes2, tile=128):
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def rotated_iou_matrix_pallas(boxes1, boxes2, tile=128, interpret=False):
     """[N, 5] x [K, 5] -> [N, K] rotated IoU via a tiled Pallas kernel.
 
     N/K are padded up to the tile size internally; padded rows produce
-    zero-size boxes whose IoU is 0.
+    zero-size boxes whose IoU is 0.  interpret=True runs the kernel in
+    the Pallas interpreter (CPU parity tests).
     """
     n, k = boxes1.shape[0], boxes2.shape[0]
     np_, kp = (-(-n // tile)) * tile, (-(-k // tile)) * tile
@@ -153,6 +154,7 @@ def rotated_iou_matrix_pallas(boxes1, boxes2, tile=128):
             bytes_accessed=int(np_) * int(kp) * 4,
             transcendentals=int(np_) * 2 + int(kp) * 2,
         ),
+        interpret=interpret,
     )(b1, b2)
     return out[:n, :k]
 
