@@ -51,10 +51,18 @@ class DataLoader:
 
             global _WORKER_DATASET
             _WORKER_DATASET = dataset
-            ctx = mp.get_context("fork")
-            self._pool = ctx.Pool(
-                self._num_workers, initializer=_init_worker,
-                initargs=(seed or 0,))
+            try:
+                ctx = mp.get_context("fork")
+                self._pool = ctx.Pool(
+                    self._num_workers, initializer=_init_worker,
+                    initargs=(seed or 0,))
+            except (ValueError, OSError) as e:  # no fork on this platform
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "process-mode loader unavailable (%s); "
+                    "falling back to threads", e)
+                self._mode = "thread"
 
     def __len__(self):
         n = len(self._dataset)

@@ -52,22 +52,6 @@ def eval_multi_threshold(config_path, model_dir, score_thresholds=(0.3, 0.5)):
     return results
 
 
-def main():
-    from .utils.fire_lite import fire
-
-    fire({
-        "train_multi_rpn_layer_num": train_multi_rpn_layer_num,
-        "train_configs": train_configs,
-        "eval_multi_threshold": eval_multi_threshold,
-    })
-
-
-if __name__ == "__main__":
-    main()
-
-
-
-
 def nuscenes_modify_step(config, epochs, eval_epoch, data_sample_factor,
                          num_examples=None):
     """Switch the NuScenes subsample variant and set step counts
@@ -88,3 +72,40 @@ def nuscenes_modify_step(config, epochs, eval_epoch, data_sample_factor,
     from .utils.config_tool import set_train_step
     set_train_step(config, epochs, eval_epoch, num_examples=num_examples)
     return config
+
+
+def train_nuscenes_variant(config_path, model_dir_root, tag,
+                           epochs=50, eval_epoch=5, data_sample_factor=8,
+                           pretrained_path=None, resume=False):
+    """Dated experiment launcher (the generic shape of every
+    script_server.py train_nuscenes_* wrapper, script_server.py:53-221):
+    pick a subsample variant, derive step counts, train into
+    model_dir_root/tag/test_<datetime> with optional pretrained
+    weights."""
+    import datetime
+
+    cfg = load_pipeline_config(config_path)
+    nuscenes_modify_step(cfg, epochs, eval_epoch, data_sample_factor)
+    date_str = datetime.datetime.now().strftime("%y%m%d_%H%M%S")
+    model_dir = Path(model_dir_root) / tag / f"test_{date_str}"
+    model_dir.mkdir(parents=True, exist_ok=True)
+    tmp_cfg = model_dir / "input.config"
+    with open(tmp_cfg, "w") as f:
+        f.write(cfg.to_text())
+    return train(str(tmp_cfg), str(model_dir),
+                 pretrained_path=pretrained_path, resume=resume)
+
+
+def main():
+    from .utils.fire_lite import fire
+
+    fire({
+        "train_multi_rpn_layer_num": train_multi_rpn_layer_num,
+        "train_configs": train_configs,
+        "eval_multi_threshold": eval_multi_threshold,
+        "train_nuscenes_variant": train_nuscenes_variant,
+    })
+
+
+if __name__ == "__main__":
+    main()

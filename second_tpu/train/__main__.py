@@ -85,13 +85,20 @@ def train(config_path,
           measure_time=False,
           profile_steps=0,
           batch_size=None,
-          num_workers=None):
+          num_workers=None,
+          loader_mode="auto"):
     """Train a detector with the given pipeline config.
 
     profile_steps: if > 0, capture a jax.profiler trace of that many
     steps (starting at step 2, after compilation) into
     model_dir/profile — the TPU-native twin of the reference's
     --measure_time named-region timers (voxelnet.py:191-228).
+
+    loader_mode: "process" (default via "auto"): forked worker pool —
+    the train-time prep (DB-sample + per-object noise + target assign)
+    is Python-heavy and GIL-bound, so threads cannot feed the chip;
+    mirrors the reference's DataLoader worker processes
+    (train.py:262-270). "thread" for fork-hostile environments.
     """
     import jax
     import jax.numpy as jnp
@@ -137,8 +144,11 @@ def train(config_path,
 
     total_step = train_cfg.steps
     tx, lr_fn, _ = opt_builder.build(train_cfg.optimizer, total_step)
+    if loader_mode == "auto":
+        loader_mode = "process" if num_workers and num_workers > 0 else "thread"
     loader = DataLoader(
-        dataset, batch_size, shuffle=True, num_workers=num_workers)
+        dataset, batch_size, shuffle=True, num_workers=num_workers,
+        mode=loader_mode)
 
     log = SimpleModelLog(model_dir).open()
     log.log_text(

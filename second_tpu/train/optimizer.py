@@ -10,6 +10,8 @@ including norm scales and biases (bn_wd=True upstream).  The OneCycle
 momentum annealing drives adam's b1 through inject_hyperparams.
 """
 
+from typing import NamedTuple
+
 import optax
 
 from ..configs import schema
@@ -19,11 +21,21 @@ GRAD_CLIP_NORM = 10.0
 
 
 def build(optimizer_config: schema.Optimizer, total_step):
-    """Optimizer proto -> (optax.GradientTransformation, lr_fn, mom_fn)."""
+    """Optimizer proto -> (optax.GradientTransformation, lr_fn, mom_fn).
+
+    use_moving_average: supported here (the reference raises,
+    optimizer_builder.py:92-93): the optimizer state additionally
+    tracks an EMA of the updated parameters at moving_average_decay
+    (default 0.9999); read it back with :func:`ema_params` for eval.
+    """
     which = optimizer_config.WhichOneof("optimizer")
     fixed_wd = optimizer_config.fixed_weight_decay
-    if optimizer_config.use_moving_average:
-        raise NotImplementedError("moving average optimizer not supported")
+
+    def _finalize(tx):
+        if optimizer_config.use_moving_average:
+            decay = optimizer_config.moving_average_decay or 0.9999
+            return _with_param_ema(tx, decay)
+        return tx
 
     if which == "adam_optimizer":
         cfg = optimizer_config.adam_optimizer
@@ -46,7 +58,7 @@ def build(optimizer_config: schema.Optimizer, total_step):
                 )
             return optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), tx)
 
-        tx = make(lr=lr_fn, b1=mom_fn)
+        tx = _finalize(make(lr=lr_fn, b1=mom_fn))
         return tx, lr_fn, mom_fn
 
     if which == "momentum_optimizer":
@@ -64,7 +76,7 @@ def build(optimizer_config: schema.Optimizer, total_step):
                 optax.sgd(lr, momentum=mom),
             )
 
-        return make(lr=lr_fn, mom=mom_fn), lr_fn, mom_fn
+        return _finalize(make(lr=lr_fn, mom=mom_fn)), lr_fn, mom_fn
 
     if which == "rms_prop_optimizer":
         cfg = optimizer_config.rms_prop_optimizer
@@ -82,9 +94,47 @@ def build(optimizer_config: schema.Optimizer, total_step):
                     momentum=mom),
             )
 
-        return make(lr=lr_fn, mom=mom_fn), lr_fn, mom_fn
+        return _finalize(make(lr=lr_fn, mom=mom_fn)), lr_fn, mom_fn
 
     raise ValueError("empty optimizer config")
+
+
+class ParamEmaState(NamedTuple):
+    inner: object
+    ema: object
+
+
+def _with_param_ema(tx, decay):
+    """Wrap ``tx`` so its state also carries an EMA of the UPDATED
+    parameters (TF object-detection-style use_moving_average; the EMA
+    rides the optimizer state so checkpoints carry it for free)."""
+    import jax
+
+    def init(params):
+        import jax.numpy as jnp
+
+        # materialize COPIES: aliasing the live param buffers would
+        # double-donate under a jitted train step
+        return ParamEmaState(
+            tx.init(params),
+            jax.tree_util.tree_map(lambda p: jnp.array(p), params))
+
+    def update(grads, state, params=None, **extra):
+        updates, new_inner = tx.update(grads, state.inner, params, **extra)
+        new_params = optax.apply_updates(params, updates)
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_params)
+        return updates, ParamEmaState(new_inner, new_ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(opt_state):
+    """Extract the parameter EMA from a use_moving_average optimizer
+    state, or None if the optimizer wasn't built with it."""
+    if isinstance(opt_state, ParamEmaState):
+        return opt_state.ema
+    return None
 
 
 def freeze_by_patterns(tx, params, include=None, exclude=None):

@@ -43,13 +43,15 @@ def _write_png(path, h, w):
         f.write(chunk(b"IEND", b""))
 
 
-def make_scene_lidar(rng, num_cars=4):
+def make_scene_lidar(rng, num_cars=4, num_bg_points=6000,
+                     points_per_object=200):
     """lidar-frame scene with cars in front of the camera (x > 5)."""
     from second_tpu.data.synthetic import make_scene
 
     points, gt_boxes, names = make_scene(
-        rng, num_objects=num_cars, num_bg_points=6000,
-        x_range=(5.0, 60.0), y_range=(-20.0, 20.0), points_per_object=200)
+        rng, num_objects=num_cars, num_bg_points=num_bg_points,
+        x_range=(5.0, 60.0), y_range=(-20.0, 20.0),
+        points_per_object=points_per_object)
     return points, gt_boxes, names
 
 
@@ -75,8 +77,11 @@ def lidar_box_to_label_lines(gt_boxes_bottom, names, points):
     return lines
 
 
-def build_kitti_dir(root, num_frames=4, seed=0):
-    """Create a fake KITTI training tree; returns frame ids."""
+def build_kitti_dir(root, num_frames=4, seed=0, scene_kwargs=None):
+    """Create a fake KITTI training tree; returns frame ids.
+
+    scene_kwargs: forwarded to make_scene_lidar (e.g. KITTI-scale
+    density: num_cars=10, num_bg_points=16000)."""
     root = Path(root)
     for sub in ("velodyne", "label_2", "calib", "image_2"):
         (root / "training" / sub).mkdir(parents=True, exist_ok=True)
@@ -97,7 +102,8 @@ def build_kitti_dir(root, num_frames=4, seed=0):
     calib_str = "\n".join(calib_lines) + "\n"
     for idx in ids:
         stem = kitti.get_image_index_str(idx)
-        points, gt_boxes_center, names = make_scene_lidar(rng)
+        points, gt_boxes_center, names = make_scene_lidar(
+            rng, **(scene_kwargs or {}))
         # label files carry z-BOTTOM camera boxes
         gt_bottom = gt_boxes_center.copy()
         points.astype(np.float32).tofile(

@@ -128,6 +128,47 @@ def test_overfit_synthetic(setup):
     del lr_fn
 
 
+def test_moving_average_optimizer(setup):
+    """use_moving_average tracks a parameter EMA in the optimizer state
+    (the reference raises on this flag, optimizer_builder.py:92-93; we
+    support it — ema_params() recovers the averaged weights)."""
+    cfg, parts, ex = setup
+    net, spec = parts["net"], parts["spec"]
+    opt_cfg = cfg.train_config.optimizer
+    assert not opt_cfg.use_moving_average  # config default
+    opt_cfg.use_moving_average = True
+    opt_cfg.moving_average_decay = 0.9
+    try:
+        tx, _, _ = opt_builder.build(opt_cfg, total_step=100)
+        variables = net.init(
+            jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+            ex["coordinates"])
+        state = TrainState.create(variables, tx)
+        # snapshot before stepping: the jitted step donates state buffers
+        init_params = jax.tree_util.tree_map(np.asarray, state.params)
+        step = make_train_step(net, spec, tx)
+        for _ in range(5):
+            state, _ = step(state, ex)
+        ema = opt_builder.ema_params(state.opt_state)
+        assert ema is not None
+        # EMA lags the live params: it must sit strictly between the
+        # initial and current value of any leaf that moved
+        leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+        p0, p5, e5 = (np.asarray(leaf(t)).ravel()
+                      for t in (init_params, state.params, ema))
+        moved = np.abs(p5 - p0) > 1e-7
+        assert moved.any()
+        # EMA lags: most leaves sit between start and current value
+        # (not all — adam trajectories oscillate, EMA can overshoot)
+        between = (np.abs(e5 - p0) <= np.abs(p5 - p0) + 1e-7)
+        assert between[moved].mean() > 0.9
+        # decay 0.9 over 5 steps: ema-to-current distance ~0.9^5 of full
+        ratio = np.abs(e5 - p5)[moved] / np.abs(p5 - p0)[moved]
+        assert 0.3 < np.median(ratio) < 0.95
+    finally:
+        opt_cfg.use_moving_average = False
+
+
 def test_eval_step_runs(setup):
     cfg, parts, ex = setup
     net, spec = parts["net"], parts["spec"]

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""END-TO-END (host-fed) training throughput benchmark.
+
+Unlike the device-only train-step numbers, this measures the full
+production loop on synthetic KITTI-scale frames: DataLoader workers
+(thread or process mode) running the real prep_pointcloud (DB-sample +
+per-object noise + voxelize + target assign [+ C++ sparse-conv
+planning for fhd]) -> DevicePrefetcher (convert + H2D overlap) ->
+jitted sharded train step.  Reports frames/s plus the data_fetch vs
+train_step breakdown from ModelTimer.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train_e2e.py \
+      --config pp --mode process --steps 60
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+CONFIGS = {
+    "pp": "/root/reference/second/configs/pointpillars/car/xyres_16.config",
+    "fhd": "/root/reference/second/configs/car.fhd.config",
+}
+
+
+def build_tree(root, num_frames):
+    from kitti_fixture import build_kitti_dir
+
+    from second_tpu.data.gt_database import create_groundtruth_database
+    from second_tpu.data.kitti_dataset import (
+        create_kitti_info_file,
+        create_reduced_point_cloud,
+    )
+
+    ids = build_kitti_dir(
+        root, num_frames=num_frames,
+        scene_kwargs=dict(num_cars=10, num_bg_points=16000,
+                          points_per_object=250))
+    create_kitti_info_file(
+        str(root), train_img_ids=ids, val_img_ids=[], test_img_ids=[])
+    create_reduced_point_cloud(str(root))
+    create_groundtruth_database(
+        "KittiDataset", str(root),
+        info_path=str(root / "kitti_infos_train.pkl"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="pp", help="pp | fhd | path")
+    ap.add_argument("--mode", default="process",
+                    choices=["thread", "process"])
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=0, help="0 = config value")
+    ap.add_argument("--workers", type=int, default=os.cpu_count() or 4)
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--tree", default="", help="reuse an existing tree")
+    args = ap.parse_args()
+
+    if args.tree:
+        root = Path(args.tree)
+        if not (root / "kitti_infos_train.pkl").exists():
+            root.mkdir(parents=True, exist_ok=True)
+            t0 = time.perf_counter()
+            build_tree(root, args.frames)
+            print(f"built tree in {time.perf_counter()-t0:.1f}s: {root}")
+    else:
+        tmp = tempfile.mkdtemp(prefix="bench_kitti_")
+        root = Path(tmp)
+        t0 = time.perf_counter()
+        build_tree(root, args.frames)
+        print(f"built tree in {time.perf_counter()-t0:.1f}s: {root}")
+
+    import jax
+    import jax.numpy as jnp
+
+    from second_tpu.builders import build_network, dataset_builder
+    from second_tpu.train import optimizer as opt_builder
+    from second_tpu.data.loader import DataLoader
+    from second_tpu.data.prefetch import DevicePrefetcher
+    from second_tpu.parallel import make_mesh, put_sharded
+    from second_tpu.train.__main__ import example_convert
+    from second_tpu.train.state import TrainState, make_train_step
+    from second_tpu.utils.config_tool import read_config
+    from second_tpu.utils.timer import ModelTimer
+
+    cfg_path = CONFIGS.get(args.config, args.config)
+    cfg = read_config(cfg_path)
+    for reader, info in [(cfg.train_input_reader, "kitti_infos_train.pkl")]:
+        reader.dataset.kitti_info_path = str(root / info)
+        reader.dataset.kitti_root_path = str(root)
+    cfg.train_input_reader.preprocess.database_sampler.\
+        database_info_path = str(root / "kitti_dbinfos_train.pkl")
+
+    parts = build_network(cfg.model.second)
+    net, spec = parts["net"], parts["spec"]
+    dataset = dataset_builder.build(
+        cfg.train_input_reader, cfg.model.second, training=True,
+        voxel_generator=parts["voxel_generator"],
+        target_assigner=parts["target_assigner"],
+        anchor_cache=parts["anchor_cache"])
+
+    batch = args.batch or cfg.train_input_reader.batch_size
+    print(f"config={cfg_path} batch={batch} workers={args.workers} "
+          f"mode={args.mode} frames={len(dataset)}")
+
+    t0 = time.perf_counter()
+    _ = dataset[0]  # one cold sample (numba-free, native warm)
+    print(f"single-sample prep: {(time.perf_counter()-t0)*1e3:.1f} ms")
+
+    devices = jax.devices()
+    mesh = make_mesh(devices[:1])
+    loader = DataLoader(dataset, batch, shuffle=True,
+                        num_workers=args.workers, mode=args.mode,
+                        prefetch=6, seed=0)
+    tx, _, _ = opt_builder.build(
+        cfg.train_config.optimizer, cfg.train_config.steps)
+    step_fn = make_train_step(net, spec, tx, mesh=mesh)
+
+    timer = ModelTimer(enabled=True)
+
+    def _prep(example):
+        return put_sharded(
+            {k: jnp.asarray(v) for k, v in example_convert(example).items()},
+            mesh)
+
+    state = None
+    step = 0
+    t_start = None
+    done = False
+    while not done:
+        it = iter(DevicePrefetcher(loader, _prep))
+        while True:
+            timer.start("data_fetch")
+            try:
+                ex = next(it)
+            except StopIteration:
+                break
+            timer.end("data_fetch")
+            if state is None:
+                first = {k: np.asarray(v) for k, v in ex.items()}
+                variables = net.init(
+                    jax.random.PRNGKey(0), first["voxels"],
+                    first["num_points"], first["coordinates"])
+                state = TrainState.create(variables, tx)
+                print("compiling train step ...")
+            timer.start("train_step")
+            state, metrics = step_fn(state, ex)
+            timer.end("train_step", sync_value=metrics["loss"])
+            step += 1
+            if step == args.warmup:
+                timer.clear()
+                t_start = time.perf_counter()
+                n_at_start = step
+            if step >= args.warmup + args.steps:
+                done = True
+                break
+
+    dt = time.perf_counter() - t_start
+    n = step - n_at_start
+    fps = n * batch / dt
+    avg = timer.get_avg_time_dict()
+    print(f"e2e train: {n} steps in {dt:.2f}s = {n/dt:.2f} steps/s = "
+          f"{fps:.1f} frames/s/chip (host-fed)")
+    for k, v in avg.items():
+        print(f"  avg {k}: {v*1e3:.2f} ms")
+    print(f"  loss={float(np.asarray(metrics['loss'])):.3f}")
+
+
+if __name__ == "__main__":
+    main()
