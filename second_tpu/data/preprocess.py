@@ -209,7 +209,14 @@ def prep_pointcloud(input_dict,
         example["num_points"] = num_points
         from ..models.sparse_middle import build_host_plan
 
-        example.update(build_host_plan(coordinates, sparse_plan_scales))
+        plan, counts = build_host_plan(
+            coordinates, sparse_plan_scales, return_counts=True)
+        example.update(plan)
+        # per-downsample-stage (true_active, capacity) — spconv never
+        # drops voxels (middle.py:199-209); the train loop surfaces
+        # utilization so capacity overflow is visible, not silent
+        example["sparse_active_counts"] = np.array(
+            [counts[i] for i in sorted(counts)], dtype=np.int32)
     if calib is not None:
         example["calib"] = calib
     feature_map_size = grid_size[:2] // out_size_factor

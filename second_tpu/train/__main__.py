@@ -47,6 +47,9 @@ def example_convert(example, dtype=np.float32):
     for k, v in example.items():
         if k.startswith("plan_"):  # host-built sparse-conv rulebooks
             out[k] = np.ascontiguousarray(v, dtype=np.int32)
+    if "sparse_active_counts" in example:
+        out["sparse_active_counts"] = np.ascontiguousarray(
+            example["sparse_active_counts"], dtype=np.int32)
     return out
 
 
@@ -225,6 +228,21 @@ def train(config_path,
                     m = {k: float(v) for k, v in metrics.items()}
                     m.update(running.value())
                     m["lr"] = float(lr_fn(step))
+                    sac = ex.get("sparse_active_counts")
+                    if sac is not None:
+                        # [B, S, 2] (true_active, capacity) per stage:
+                        # >1.0 means voxels were DROPPED (raise
+                        # capacity_factors on the middle class)
+                        sac = np.asarray(sac)
+                        util = sac[..., 0] / np.maximum(sac[..., 1], 1)
+                        m["sparse_util_max"] = float(util.max())
+                        if util.max() > 1.0:
+                            log.log_text(
+                                f"WARNING sparse active-set OVERFLOW: "
+                                f"per-stage utilization "
+                                f"{util.max(axis=0).round(3).tolist()} — "
+                                f"voxels dropped; raise capacity_factors",
+                                step)
                     m["steps_per_sec"] = display_step / max(
                         time.time() - t_step, 1e-6)
                     t_step = time.time()

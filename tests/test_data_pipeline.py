@@ -150,3 +150,42 @@ def test_dataset_registry():
     assert get_dataset_class("KittiDataset") is KittiDataset
     with pytest.raises(KeyError):
         get_dataset_class("NopeDataset")
+
+
+def test_fhd_pipeline_attaches_sparse_plan(kitti_root):
+    """car.fhd through the data pipeline: DataLoader workers must attach
+    the C++-built rulebooks (plan_* arrays) AND the per-stage
+    (true_active, capacity) counts that the train loop surfaces as
+    sparse_util_max (spconv-never-drops contract, middle.py:199-209)."""
+    from second_tpu.native import sparse_plan as native_plan
+
+    if not native_plan.available():
+        pytest.skip("native library unavailable")
+
+    cfg = read_config("/root/reference/second/configs/car.fhd.config")
+    for reader, info in [(cfg.train_input_reader, "kitti_infos_train.pkl")]:
+        reader.dataset.kitti_info_path = str(kitti_root / info)
+        reader.dataset.kitti_root_path = str(kitti_root)
+    cfg.train_input_reader.preprocess.database_sampler.\
+        database_info_path = str(kitti_root / "kitti_dbinfos_train.pkl")
+    parts = build_network(cfg.model.second)
+    dataset = dataset_builder.build(
+        cfg.train_input_reader, cfg.model.second, training=True,
+        voxel_generator=parts["voxel_generator"],
+        target_assigner=parts["target_assigner"],
+        anchor_cache=parts["anchor_cache"])
+    ex = dataset[0]
+    plan_keys = [k for k in ex if k.startswith("plan_")]
+    assert any(k.startswith("plan_subm") for k in plan_keys)
+    assert any(k.startswith("plan_conv") for k in plan_keys)
+    sac = ex["sparse_active_counts"]
+    assert sac.ndim == 2 and sac.shape[1] == 2
+    assert (sac[:, 0] > 0).all()
+    # no overflow on fixture scenes at default capacity_factors
+    assert (sac[:, 0] <= sac[:, 1]).all()
+    # the train-side convert keeps the counts for metric surfacing
+    from second_tpu.data.preprocess import merge_second_batch
+    from second_tpu.train.__main__ import example_convert
+
+    batch = example_convert(merge_second_batch([ex, ex]))
+    assert batch["sparse_active_counts"].shape == (2,) + sac.shape

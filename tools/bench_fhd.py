@@ -94,8 +94,14 @@ def main():
     plan = {k: jnp.asarray(np.broadcast_to(v[None], (B,) + v.shape))
             for k, v in plan_np.items()}
 
-    variables = net.init(
-        jax.random.PRNGKey(0), voxels[:1], num_points[:1], coords[:1])
+    # init through the HOST-PLANNED path under jit: the all-device path
+    # traced eagerly dispatches thousands of tiny ops over the tunneled
+    # backend (argsort + dense index grids) and takes tens of minutes;
+    # params/batch_stats are identical either way (same modules)
+    plan1 = {k: jnp.asarray(v[None]) for k, v in plan_np.items()}
+    variables = jax.jit(
+        lambda k, v, n, c, p: net.init(k, v, n, c, sparse_plan=p)
+    )(jax.random.PRNGKey(0), voxels[:1], num_points[:1], coords[:1], plan1)
     anchors_b = jnp.asarray(
         np.broadcast_to(anchors[None], (B,) + anchors.shape))
     vx, npts, crd = jnp.asarray(voxels), jnp.asarray(num_points), \
