@@ -4,9 +4,13 @@ second/kittiviewer/backend/main.py:29-229).
 Same REST surface — POST /api/readinfo, /api/read_detection,
 /api/get_pointcloud, /api/build_network, /api/inference_by_idx — served
 with the stdlib http.server (flask isn't bundled in the TPU image) and
-CORS headers so the upstream three.js frontend works against it:
+CORS headers so the upstream three.js frontend also works against it.
+GET / serves the bundled dependency-free canvas frontend
+(frontend/index.html — BEV point/box rendering, detection loading,
+live inference):
 
     python -m second_tpu.kittiviewer.backend main --port=16666
+    # then open http://localhost:16666/
 """
 
 import base64
@@ -170,6 +174,20 @@ class Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def do_GET(self):
+        """Serve the bundled canvas frontend (frontend/index.html)."""
+        if self.path in ("/", "/index.html"):
+            page = Path(__file__).parent / "frontend" / "index.html"
+            body = page.read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        self.send_response(404)
+        self.end_headers()
 
     def do_OPTIONS(self):
         self.send_response(204)

@@ -127,8 +127,26 @@ def test_viewer_backend_http(tmp_path):
         assert r["status"] == "normal" and len(r["image_indexes"]) == 2
         r = post("/api/get_pointcloud", {"image_idx": 0})
         assert r["status"] == "normal" and len(r["locs"]) > 0
+        import base64
+        pts = np.frombuffer(
+            base64.b64decode(r["pointcloud"]), np.float32).reshape(-1, 3)
+        assert len(pts) > 1000
+        r = post("/api/get_image", {"image_idx": 0})
+        assert r["status"] == "normal"
+        assert r["image_b64"].startswith("data:image/")
+        # detections from a KITTI label dir round-trip
+        r = post("/api/read_detection",
+                 {"det_path": str(root / "training" / "label_2")})
+        assert r["status"] == "normal"
         assert post("/api/nope", {})["status"] == "error"
         assert post("/api/get_pointcloud", {"image_idx": 99})["status"] == "error"
+        # bundled canvas frontend is served at /
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/").read().decode()
+        assert "second_tpu viewer" in page and "/api/" in page
+        for route in ("readinfo", "get_pointcloud", "inference_by_idx",
+                      "build_network", "read_detection", "get_image"):
+            assert route in page, route
     finally:
         srv.shutdown()
 
