@@ -40,7 +40,8 @@ def _group_topology(topology):
 
 
 def _out_capacity(cur_cap, factor):
-    return max(int(-(-cur_cap * factor // 8)) * 8, 64)
+    # multiples of 128: gather rows and GEMM M-dim stay lane/MXU-aligned
+    return max(int(-(-cur_cap * factor // 128)) * 128, 128)
 
 
 def _down_out_shape(shape, kernel, stride, pad):

@@ -299,6 +299,23 @@ def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
         num_workers=num_workers, drop_last=False)
     detections = []
     t0 = time.time()
+
+    def _drain(pending):
+        """Device->host transfer of a finished batch (the honest sync)."""
+        dets_dev, real, metadata = pending
+        dets = {k: np.asarray(v) for k, v in dets_dev.items()}
+        for b in range(real):
+            valid = dets["valid"][b]
+            detections.append({
+                "box3d_lidar": dets["box3d_lidar"][b][valid],
+                "scores": dets["scores"][b][valid],
+                "label_preds": dets["label_preds"][b][valid],
+                "metadata": metadata[b],
+            })
+
+    # double-buffered: batch N's async dispatch runs on device while
+    # batch N-1's detections transfer to host
+    pending = None
     for example in loader:
         with timer.scope("host_prep"):
             ex_np = example_convert(example)
@@ -312,17 +329,13 @@ def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
             ex = put_sharded(
                 {k: jnp.asarray(v) for k, v in ex_np.items()}, mesh)
         with timer.scope("eval_step"):
-            dets = eval_step(state, ex)
-            # device->host copy doubles as the honest device sync
-            dets = {k: np.asarray(v) for k, v in dets.items()}
-        for b in range(real):
-            valid = dets["valid"][b]
-            detections.append({
-                "box3d_lidar": dets["box3d_lidar"][b][valid],
-                "scores": dets["scores"][b][valid],
-                "label_preds": dets["label_preds"][b][valid],
-                "metadata": example["metadata"][b],
-            })
+            dets_dev = eval_step(state, ex)  # async dispatch
+            if pending is not None:
+                _drain(pending)
+            pending = (dets_dev, real, example["metadata"])
+    if pending is not None:
+        with timer.scope("eval_step"):
+            _drain(pending)
     dt = time.time() - t0
     n = len(detections)
     print(f"eval: {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)")

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--stages", action="store_true",
                     help="also time middle/rpn/predict sub-programs")
+    ap.add_argument("--skip_noplan", action="store_true",
+                    help="skip the all-device (no host planner) variant")
     args = ap.parse_args()
 
     import jax
@@ -118,81 +120,65 @@ def main():
     print(f"e2e host-planned [{args.dtype} B={B}]: {dt*1e3:.2f} ms/batch = "
           f"{B/dt:.1f} fps")
 
-    @jax.jit
-    def e2e_noplan(variables, vx, npts, crd):
-        preds = net.apply(variables, vx, npts, crd)
-        return predict(spec, preds, {"anchors": anchors_b})
+    if not args.skip_noplan:
+        @jax.jit
+        def e2e_noplan(variables, vx, npts, crd):
+            preds = net.apply(variables, vx, npts, crd)
+            return predict(spec, preds, {"anchors": anchors_b})
 
-    dt = timeit(lambda: e2e_noplan(variables, vx, npts, crd),
-                lambda: sync(e2e_noplan(variables, vx, npts, crd)["scores"]),
-                args.iters)
-    print(f"e2e all-device  [{args.dtype} B={B}]: {dt*1e3:.2f} ms/batch = "
-          f"{B/dt:.1f} fps")
+        dt = timeit(
+            lambda: e2e_noplan(variables, vx, npts, crd),
+            lambda: sync(e2e_noplan(variables, vx, npts, crd)["scores"]),
+            args.iters)
+        print(f"e2e all-device  [{args.dtype} B={B}]: {dt*1e3:.2f} ms/batch"
+              f" = {B/dt:.1f} fps")
 
     if not args.stages:
         return
 
-    # stage breakdown (host-planned path)
-    mid = net.middle_feature_extractor
-    vfe = net.voxel_feature_extractor
-    rpn = net.rpn
-
-    vfe_vars = {"params": variables["params"]["voxel_feature_extractor"],
-                **({"batch_stats":
-                    variables["batch_stats"]["voxel_feature_extractor"]}
-                   if "batch_stats" in variables and
-                   "voxel_feature_extractor" in variables.get(
-                       "batch_stats", {}) else {})}
-    mid_vars = {"params": variables["params"]["middle_feature_extractor"]}
-    if "batch_stats" in variables:
-        bs = variables["batch_stats"]
-        if "middle_feature_extractor" in bs:
-            mid_vars["batch_stats"] = bs["middle_feature_extractor"]
-    rpn_vars = {"params": variables["params"]["rpn"]}
-    if "batch_stats" in variables:
-        bs = variables["batch_stats"]
-        if "rpn" in bs:
-            rpn_vars["batch_stats"] = bs["rpn"]
-
+    # stage breakdown (host-planned path) via apply(method=...) on the
+    # full variable tree
     @jax.jit
     def vfe_fn(v, vx, npts, crd):
-        return vfe.apply(v, vx, npts, crd)
+        return net.apply(
+            v, vx, npts, crd,
+            method=lambda m, a, b, c: m.voxel_feature_extractor(a, b, c))
 
-    vfeats = vfe_fn(vfe_vars, vx, npts, crd)
-    dt = timeit(lambda: vfe_fn(vfe_vars, vx, npts, crd),
-                lambda: sync(vfe_fn(vfe_vars, vx, npts, crd)), args.iters)
+    vfeats = vfe_fn(variables, vx, npts, crd)
+    dt = timeit(lambda: vfe_fn(variables, vx, npts, crd),
+                lambda: sync(vfe_fn(variables, vx, npts, crd)), args.iters)
     print(f"  vfe:     {dt*1e3:.2f} ms")
 
     @jax.jit
     def mid_fn(v, f, crd, plan):
-        return mid.apply(v, f, crd, plan=plan)
+        return net.apply(
+            v, f, crd, plan,
+            method=lambda m, a, b, p: m.middle_feature_extractor(
+                a, b, plan=p))
 
-    bev = mid_fn(mid_vars, vfeats, crd, plan)
-    dt = timeit(lambda: mid_fn(mid_vars, vfeats, crd, plan),
-                lambda: sync(mid_fn(mid_vars, vfeats, crd, plan)),
+    bev = mid_fn(variables, vfeats, crd, plan)
+    dt = timeit(lambda: mid_fn(variables, vfeats, crd, plan),
+                lambda: sync(mid_fn(variables, vfeats, crd, plan)),
                 args.iters)
     print(f"  middle:  {dt*1e3:.2f} ms (host-planned)")
 
     @jax.jit
-    def mid_noplan(v, f, crd):
-        return mid.apply(v, f, crd)
-
-    dt = timeit(lambda: mid_noplan(mid_vars, vfeats, crd),
-                lambda: sync(mid_noplan(mid_vars, vfeats, crd)), args.iters)
-    print(f"  middle:  {dt*1e3:.2f} ms (all-device)")
-
-    @jax.jit
     def rpn_fn(v, bev):
-        return rpn.apply(v, bev)
+        return net.apply(v, bev, method=lambda m, a: m.rpn(a))
 
-    preds = rpn_fn(rpn_vars, bev)
-    dt = timeit(lambda: rpn_fn(rpn_vars, bev),
-                lambda: sync(rpn_fn(rpn_vars, bev)["box_preds"]), args.iters)
+    preds = rpn_fn(variables, bev)
+    dt = timeit(lambda: rpn_fn(variables, bev),
+                lambda: sync(rpn_fn(variables, bev)["box_preds"]), args.iters)
     print(f"  rpn:     {dt*1e3:.2f} ms")
 
     @jax.jit
     def pred_fn(preds):
-        return predict(spec, preds, {"anchors": anchors_b})
+        flat = {
+            "box_preds": preds["box_preds"].reshape(B, -1, 7),
+            "cls_preds": preds["cls_preds"].reshape(B, -1, 1),
+            "dir_cls_preds": preds["dir_cls_preds"].reshape(B, -1, 2),
+        }
+        return predict(spec, flat, {"anchors": anchors_b})
 
     dt = timeit(lambda: pred_fn(preds),
                 lambda: sync(pred_fn(preds)["scores"]), args.iters)
