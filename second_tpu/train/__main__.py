@@ -46,7 +46,8 @@ def example_convert(example, dtype=np.float32):
             out[k] = np.ascontiguousarray(example[k], dtype=t)
     for k, v in example.items():
         if k.startswith("plan_"):  # host-built sparse-conv rulebooks
-            out[k] = np.ascontiguousarray(v, dtype=np.int32)
+            # keep the planner's dtype (uint16 slots halve the upload)
+            out[k] = np.ascontiguousarray(v)
     if "sparse_active_counts" in example:
         out["sparse_active_counts"] = np.ascontiguousarray(
             example["sparse_active_counts"], dtype=np.int32)
