@@ -13,12 +13,19 @@ from . import dbsampler_builder
 from .network_builder import make_anchor_cache
 
 
+POINTS_BUFFER = 32768  # static padded size for device-voxelize examples
+
+
 def build(input_reader_config: schema.InputReader,
           model_config: schema.VoxelNet,
           training,
           voxel_generator,
           target_assigner,
-          anchor_cache=None):
+          anchor_cache=None,
+          device_voxelize=False):
+    """device_voxelize: ship the augmented point cloud instead of the
+    padded voxel buffer; the jitted step voxelizes on device (PP-family
+    only — ignored when the sparse middle's host planner is active)."""
     prep_cfg = input_reader_config.preprocess
     dataset_cfg = input_reader_config.dataset
     num_point_features = model_config.num_point_features
@@ -97,6 +104,9 @@ def build(input_reader_config: schema.InputReader,
         sample_importance=prep_cfg.sample_importance,
         anchor_cache=anchor_cache,
         sparse_plan_scales=sparse_plan_scales,
+        emit_points=(
+            POINTS_BUFFER
+            if device_voxelize and sparse_plan_scales is None else 0),
     )
 
     dataset = dataset_cls(

@@ -58,12 +58,21 @@ def prep_pointcloud(input_dict,
                     random_flip_y=True,
                     sample_importance=1.0,
                     sparse_plan_scales=None,
+                    emit_points=0,
                     out_dtype=np.float32):
     """Returns a fixed-shape example dict.
 
     sparse_plan_scales: optional output of sparse_middle.plan_scales —
     when given, voxels are sorted by linear id and C++-built sparse-conv
     rulebooks (plan_* int32 arrays) are added to the example.
+
+    emit_points: if > 0, ship the augmented point cloud itself
+    ("points" [emit_points, F] padded + "points_count") INSTEAD of the
+    padded voxel buffer, for models that voxelize on device (the
+    PointPillars family: the [V, T, F] buffer is ~100x the points'
+    bytes, and H2D is the train-loop bottleneck). Host voxelization
+    still runs for anchors_mask; mutually exclusive with
+    sparse_plan_scales (the planner needs host voxels).
     """
     t = time.time()
     class_names = target_assigner.classes
@@ -192,6 +201,20 @@ def prep_pointcloud(input_dict,
         "num_voxels": np.array([num_voxels], dtype=np.int64),
         "metrics": metrics,
     }
+    if emit_points:
+        assert sparse_plan_scales is None, (
+            "emit_points is for device-voxelizing models; the sparse "
+            "middle family needs host voxels for the rulebook planner")
+        buf = np.zeros((emit_points, points.shape[1]), out_dtype)
+        count = min(len(points), emit_points)
+        buf[:count] = points[:count]
+        example["points"] = buf
+        example["points_count"] = np.array([count], np.int32)
+        # the padded voxel buffer is ~100x the points' bytes; the
+        # device re-voxelizes inside the jitted step
+        del example["voxels"]
+        del example["num_points"]
+        del example["coordinates"]
     if sparse_plan_scales is not None:
         # host-built rulebooks need voxels sorted by linear id
         d, h, w = sparse_plan_scales[0]["shape"]

@@ -34,6 +34,8 @@ def example_convert(example, dtype=np.float32):
         "voxels": dtype,
         "num_points": np.int32,
         "coordinates": np.int32,
+        "points": dtype,
+        "points_count": np.int32,
         "anchors": dtype,
         "labels": np.int32,
         "reg_targets": dtype,
@@ -60,12 +62,20 @@ def _build_all(config_path, training_loader=True):
     return cfg, parts
 
 
-def _restore_or_init(model_dir, net, tx, example, resume):
+def _restore_or_init(model_dir, net, tx, example, resume,
+                     voxel_shapes=None):
     import jax
 
-    variables = net.init(
-        jax.random.PRNGKey(0), example["voxels"], example["num_points"],
-        example["coordinates"])
+    if "voxels" in example:
+        vx, npts, crd = (example["voxels"], example["num_points"],
+                         example["coordinates"])
+    else:  # device-voxelize examples ship points; init from shapes
+        b = example["points"].shape[0]
+        v, t, f = voxel_shapes
+        vx = np.zeros((b, v, t, f), np.float32)
+        npts = np.zeros((b, v), np.int32)
+        crd = np.full((b, v, 3), -1, np.int32)
+    variables = net.init(jax.random.PRNGKey(0), vx, npts, crd)
     state = TrainState.create(variables, tx)
     restored, step = ckpt_lib.try_restore_latest(model_dir, "voxelnet", state)
     if step is not None:
@@ -90,8 +100,15 @@ def train(config_path,
           profile_steps=0,
           batch_size=None,
           num_workers=None,
-          loader_mode="auto"):
+          loader_mode="auto",
+          device_voxelize="auto"):
     """Train a detector with the given pipeline config.
+
+    device_voxelize: "auto" (default) ships the augmented POINTS and
+    voxelizes inside the jitted step for models without a sparse host
+    planner (PointPillars family) — the padded [V, T, F] voxel buffer
+    is ~100x the points' bytes and dominates H2D otherwise. Set False
+    to always ship host-built voxels.
 
     profile_steps: if > 0, capture a jax.profiler trace of that many
     steps (starting at step 2, after compilation) into
@@ -123,16 +140,29 @@ def train(config_path,
     net, spec = parts["net"], parts["spec"]
     train_cfg = cfg.train_config
 
+    if device_voxelize == "auto":
+        from ..models.sparse_middle import SPARSE_MIDDLE_NAMES
+        device_voxelize = (
+            parts["model_cfg"].middle_feature_extractor.module_class_name
+            not in SPARSE_MIDDLE_NAMES)
     dataset = dataset_builder.build(
         cfg.train_input_reader, parts["model_cfg"], training=True,
         voxel_generator=parts["voxel_generator"],
         target_assigner=parts["target_assigner"],
-        anchor_cache=parts["anchor_cache"])
+        anchor_cache=parts["anchor_cache"],
+        device_voxelize=device_voxelize)
     eval_dataset = dataset_builder.build(
         cfg.eval_input_reader, parts["model_cfg"], training=False,
         voxel_generator=parts["voxel_generator"],
         target_assigner=parts["target_assigner"],
-        anchor_cache=parts["anchor_cache"])
+        anchor_cache=parts["anchor_cache"],
+        device_voxelize=device_voxelize)
+    voxelizer_fn = None
+    if device_voxelize:
+        from .state import make_voxelizer_fn
+        voxelizer_fn = make_voxelizer_fn(
+            parts["voxel_generator"],
+            cfg.train_input_reader.preprocess.max_number_of_voxels)
 
     batch_size = batch_size or cfg.train_input_reader.batch_size
     num_workers = (
@@ -160,7 +190,12 @@ def train(config_path,
         f"devices={n_dev}, steps={total_step}", 0)
 
     first_batch = example_convert(next(iter(loader)))
-    state = _restore_or_init(model_dir, net, tx, first_batch, resume)
+    voxel_shapes = (
+        cfg.train_input_reader.preprocess.max_number_of_voxels,
+        parts["voxel_generator"].max_num_points_per_voxel,
+        parts["model_cfg"].num_point_features)
+    state = _restore_or_init(model_dir, net, tx, first_batch, resume,
+                             voxel_shapes=voxel_shapes)
     if pretrained_path is not None:
         new_params = ckpt_lib.restore_pretrained(
             pretrained_path, state.params,
@@ -172,7 +207,8 @@ def train(config_path,
         tx = freeze_by_patterns(
             tx, state.params, include=freeze_include, exclude=freeze_exclude)
         state = state.replace(opt_state=tx.init(state.params))
-    step_fn = make_train_step(net, spec, tx, mesh=mesh)
+    step_fn = make_train_step(net, spec, tx, mesh=mesh,
+                              voxelizer=voxelizer_fn)
 
     from ..utils.metrics import RunningMetrics
     from ..utils.timer import ModelTimer
@@ -198,10 +234,22 @@ def train(config_path,
 
         from ..data.prefetch import DevicePrefetcher
 
+        # anchors are the run-constant anchor cache replicated per
+        # example — upload ONCE and splice the resident array into
+        # every batch instead of re-shipping ~4 MB/step
+        anchors_dev = put_sharded(
+            {"anchors": jnp.asarray(first_batch["anchors"])},
+            mesh)["anchors"]
+
         def _prep(example):
-            return put_sharded(
-                {k: jnp.asarray(v)
-                 for k, v in example_convert(example).items()}, mesh)
+            host = example_convert(example)
+            host.pop("anchors", None)
+            if "importance" in host and np.all(host["importance"] == 1.0):
+                host.pop("importance")  # compute_loss defaults to ones
+            dev = put_sharded(
+                {k: jnp.asarray(v) for k, v in host.items()}, mesh)
+            dev["anchors"] = anchors_dev
+            return dev
 
         while step < total_step:
             # convert + H2D of the next batches overlaps the device step
@@ -266,7 +314,8 @@ def train(config_path,
                     ckpt_lib.save(model_dir, state, "voxelnet", step)
                     res = _run_eval(
                         net, spec, state, eval_dataset, batch_size,
-                        num_workers, mesh, Path(result_path) / f"step_{step}")
+                        num_workers, mesh, Path(result_path) / f"step_{step}",
+                        voxelizer=voxelizer_fn)
                     if res is not None:
                         for name, text in res["results"].items():
                             log.log_text(f"Evaluation {name}", step)
@@ -276,7 +325,8 @@ def train(config_path,
         raise
     ckpt_lib.save(model_dir, state, "voxelnet", step)
     res = _run_eval(net, spec, state, eval_dataset, batch_size, num_workers,
-                    mesh, Path(result_path) / "final")
+                    mesh, Path(result_path) / "final",
+                    voxelizer=voxelizer_fn)
     if res is not None:
         for name, text in res["results"].items():
             log.log_text(f"Evaluation {name}", step)
@@ -286,7 +336,7 @@ def train(config_path,
 
 
 def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
-              result_dir, timer=None):
+              result_dir, timer=None, voxelizer=None):
     """Eval loop: fixed-shape batches, ragged detections, official AP."""
     import jax.numpy as jnp
 
@@ -294,7 +344,7 @@ def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
     from ..utils.timer import ModelTimer
 
     timer = timer or ModelTimer(enabled=False)
-    eval_step = make_eval_step(net, spec, mesh=mesh)
+    eval_step = make_eval_step(net, spec, mesh=mesh, voxelizer=voxelizer)
     loader = DataLoader(
         eval_dataset, batch_size, shuffle=False,
         num_workers=num_workers, drop_last=False)
@@ -320,7 +370,7 @@ def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
     for example in loader:
         with timer.scope("host_prep"):
             ex_np = example_convert(example)
-            real = ex_np["voxels"].shape[0]
+            real = next(iter(ex_np.values())).shape[0]
             if real < batch_size:  # pad the tail batch
                 pad = batch_size - real
                 ex_np = {

@@ -10,6 +10,43 @@ from flax import struct
 from ..models.voxelnet import compute_loss, predict
 
 
+def make_voxelizer_fn(voxel_generator, max_voxels):
+    """Static device-voxelization closure for step factories: maps a
+    padded point batch ("points" [B, N, F] + "points_count" [B, 1]) to
+    (voxels, num_points, coords) inside the jitted step (twin of the
+    host C++ voxelizer; equivalence-tested in test_voxelizer)."""
+    from ..ops.voxelize import voxelize
+
+    voxel_size = tuple(float(v) for v in voxel_generator.voxel_size)
+    range_min = tuple(
+        float(v) for v in voxel_generator.point_cloud_range[:3])
+    grid = tuple(int(v) for v in voxel_generator.grid_size)
+    t = int(voxel_generator.max_num_points_per_voxel)
+    full_mean = bool(getattr(voxel_generator, "full_mean", False))
+
+    def fn(points, points_count):
+        def one(p, c):
+            voxels, coords, counts, _ = voxelize(
+                p, c[0], voxel_size, range_min, grid_size=grid,
+                max_voxels=int(max_voxels), max_points_per_voxel=t,
+                full_mean=full_mean)
+            return voxels, counts, coords
+
+        return jax.vmap(one)(points, points_count)
+
+    return fn
+
+
+def _network_inputs(example, voxelizer):
+    if "points" in example:
+        assert voxelizer is not None, (
+            "example ships raw points; build the step with "
+            "voxelizer=make_voxelizer_fn(...)")
+        return voxelizer(example["points"], example["points_count"])
+    return (example["voxels"], example["num_points"],
+            example["coordinates"])
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
@@ -27,12 +64,14 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_train_step(net, spec, tx, mesh=None):
+def make_train_step(net, spec, tx, mesh=None, voxelizer=None):
     """Returns a jitted (state, example) -> (state, metrics) step.
 
     example: dict with voxels [B, V, T, F], num_points [B, V],
-    coords [B, V, 3], anchors [B, A, 7+], labels [B, A],
-    reg_targets [B, A, code], importance [B, A] (optional).
+    coords [B, V, 3] (or "points" [B, N, F] + "points_count" when built
+    with a ``voxelizer`` — device-side voxelization), anchors
+    [B, A, 7+], labels [B, A], reg_targets [B, A, code], importance
+    [B, A] (optional).
     When a mesh is given, the batch is sharded over its 'data' axis and
     state is replicated; XLA inserts the grad all-reduce.
     """
@@ -40,14 +79,15 @@ def make_train_step(net, spec, tx, mesh=None):
     def step(state, example):
         plan = {k: v for k, v in example.items()
                 if k.startswith("plan_")}
+        voxels, num_points, coords = _network_inputs(example, voxelizer)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             preds, updated = net.apply(
                 variables,
-                example["voxels"],
-                example["num_points"],
-                example["coordinates"],
+                voxels,
+                num_points,
+                coords,
                 train=True,
                 sparse_plan=plan or None,
                 mutable=["batch_stats"],
@@ -100,19 +140,20 @@ def make_train_step(net, spec, tx, mesh=None):
     )
 
 
-def make_eval_step(net, spec, mesh=None):
+def make_eval_step(net, spec, mesh=None, voxelizer=None):
     """Returns a jitted (state, example) -> fixed-size detections fn."""
 
     def step(state, example):
         plan = {k: v for k, v in example.items()
                 if k.startswith("plan_")}
+        voxels, num_points, coords = _network_inputs(example, voxelizer)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         preds = net.apply(
             variables,
-            example["voxels"],
-            example["num_points"],
-            example["coordinates"],
+            voxels,
+            num_points,
+            coords,
             train=False,
             sparse_plan=plan or None,
         )

@@ -242,3 +242,57 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     # missing name
     _, none_step = try_restore_latest(tmp_path, "other", state)
     assert none_step is None
+
+
+def test_device_voxelize_train_step_matches_host(setup):
+    """Training with device-side voxelization ("points" examples) must
+    produce the same loss as the host-voxelized path: the device
+    voxelizer is set-equivalent and PFN pooling is order-invariant, so
+    with no per-voxel truncation the network inputs are identical."""
+    from second_tpu.train.state import make_voxelizer_fn
+
+    cfg, parts, _ = setup
+    net, spec = parts["net"], parts["spec"]
+    gen = parts["voxel_generator"]
+    tx, _, _ = opt_builder.build(cfg.train_config.optimizer, total_step=100)
+
+    # Rebuild the scenes and a NO-TRUNCATION example (the scenes make
+    # ~2.1k pillars; a cap below that makes host FCFS and the device
+    # voxelizer keep different subsets and the losses diverge).
+    rng = np.random.RandomState(0)
+    scenes = [
+        make_scene(rng, num_objects=3, num_bg_points=2000,
+                   x_range=(0, 20.4), y_range=(-10, 10))
+        for _ in range(2)
+    ]
+    max_voxels = 4096
+    ex = assemble_example(parts, scenes, max_voxels=max_voxels)
+    ex = {k: jnp.asarray(v) for k, v in ex.items()}
+    variables = net.init(
+        jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+        ex["coordinates"])
+
+    N = 8192
+    pts = np.zeros((2, N, 4), np.float32)
+    cnt = np.zeros((2, 1), np.int32)
+    for i, (points, _, _) in enumerate(scenes):
+        n = min(len(points), N)
+        pts[i, :n] = points[:n]
+        cnt[i, 0] = n
+    ex_pts = {k: v for k, v in ex.items()
+              if k not in ("voxels", "num_points", "coordinates")}
+    ex_pts["points"] = jnp.asarray(pts)
+    ex_pts["points_count"] = jnp.asarray(cnt)
+
+    voxelizer = make_voxelizer_fn(gen, max_voxels=max_voxels)
+
+    step_host = make_train_step(net, spec, tx)
+    step_dev = make_train_step(net, spec, tx, voxelizer=voxelizer)
+    # independent buffer copies: the jitted steps donate their state
+    variables2 = jax.tree_util.tree_map(jnp.array, variables)
+    state_h = TrainState.create(variables, tx)
+    state_d = TrainState.create(variables2, tx)
+    _, mh = step_host(state_h, dict(ex))
+    _, md = step_dev(state_d, ex_pts)
+    lh, ld = float(mh["loss"]), float(md["loss"])
+    assert abs(lh - ld) < 1e-2 * max(1.0, abs(lh)), (lh, ld)

@@ -90,7 +90,8 @@ def main():
     from second_tpu.data.prefetch import DevicePrefetcher
     from second_tpu.parallel import make_mesh, put_sharded
     from second_tpu.train.__main__ import example_convert
-    from second_tpu.train.state import TrainState, make_train_step
+    from second_tpu.train.state import (
+        TrainState, make_train_step, make_voxelizer_fn)
     from second_tpu.utils.config_tool import read_config
     from second_tpu.utils.timer import ModelTimer
 
@@ -104,11 +105,17 @@ def main():
 
     parts = build_network(cfg.model.second)
     net, spec = parts["net"], parts["spec"]
+    from second_tpu.models.sparse_middle import SPARSE_MIDDLE_NAMES
+    device_voxelize = (
+        cfg.model.second.middle_feature_extractor.module_class_name
+        not in SPARSE_MIDDLE_NAMES)
     dataset = dataset_builder.build(
         cfg.train_input_reader, cfg.model.second, training=True,
         voxel_generator=parts["voxel_generator"],
         target_assigner=parts["target_assigner"],
-        anchor_cache=parts["anchor_cache"])
+        anchor_cache=parts["anchor_cache"],
+        device_voxelize=device_voxelize)
+    print(f"device_voxelize={device_voxelize}")
 
     batch = args.batch or cfg.train_input_reader.batch_size
     print(f"config={cfg_path} batch={batch} workers={args.workers} "
@@ -125,14 +132,30 @@ def main():
                         prefetch=6, seed=0)
     tx, _, _ = opt_builder.build(
         cfg.train_config.optimizer, cfg.train_config.steps)
-    step_fn = make_train_step(net, spec, tx, mesh=mesh)
+    voxelizer_fn = None
+    if device_voxelize:
+        voxelizer_fn = make_voxelizer_fn(
+            parts["voxel_generator"],
+            cfg.train_input_reader.preprocess.max_number_of_voxels)
+    step_fn = make_train_step(net, spec, tx, mesh=mesh,
+                              voxelizer=voxelizer_fn)
 
     timer = ModelTimer(enabled=True)
+    anchors_dev = put_sharded(
+        {"anchors": jnp.asarray(np.broadcast_to(
+            parts["anchor_cache"]["anchors"].astype(np.float32)[None],
+            (batch,) + parts["anchor_cache"]["anchors"].shape))},
+        mesh)["anchors"]
 
     def _prep(example):
-        return put_sharded(
-            {k: jnp.asarray(v) for k, v in example_convert(example).items()},
-            mesh)
+        host = example_convert(example)
+        host.pop("anchors", None)
+        if "importance" in host and np.all(host["importance"] == 1.0):
+            host.pop("importance")
+        dev = put_sharded(
+            {k: jnp.asarray(v) for k, v in host.items()}, mesh)
+        dev["anchors"] = anchors_dev
+        return dev
 
     state = None
     step = 0
@@ -148,10 +171,21 @@ def main():
                 break
             timer.end("data_fetch")
             if state is None:
-                first = {k: np.asarray(v) for k, v in ex.items()}
-                variables = net.init(
-                    jax.random.PRNGKey(0), first["voxels"],
-                    first["num_points"], first["coordinates"])
+                if device_voxelize:
+                    Vv = cfg.train_input_reader.preprocess.\
+                        max_number_of_voxels
+                    Tt = parts["voxel_generator"].max_num_points_per_voxel
+                    Ff = cfg.model.second.num_point_features
+                    variables = net.init(
+                        jax.random.PRNGKey(0),
+                        np.zeros((batch, Vv, Tt, Ff), np.float32),
+                        np.zeros((batch, Vv), np.int32),
+                        np.full((batch, Vv, 3), -1, np.int32))
+                else:
+                    first = {k: np.asarray(v) for k, v in ex.items()}
+                    variables = net.init(
+                        jax.random.PRNGKey(0), first["voxels"],
+                        first["num_points"], first["coordinates"])
                 state = TrainState.create(variables, tx)
                 print("compiling train step ...")
             timer.start("train_step")
