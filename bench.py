@@ -128,6 +128,18 @@ def bench_car_fhd(batch=1):
     coords1[:n] = res["coordinates"][:n]
     scales = sm.plan_scales(
         "SpMiddleFHD", [1] + gen.grid_size[::-1].tolist() + [16], V)
+    # host-built rulebooks need voxels sorted by linear id (the
+    # dataloader's prep does this too, preprocess.py:218-230)
+    d0, h0, w0 = scales[0]["shape"]
+    lin = np.where(
+        coords1[:, 0] >= 0,
+        (coords1[:, 0].astype(np.int64) * h0 + coords1[:, 1]) * w0
+        + coords1[:, 2],
+        d0 * h0 * w0)
+    order = np.argsort(lin, kind="stable")
+    coords1 = coords1[order]
+    res["voxels"] = res["voxels"][order]
+    res["num_points_per_voxel"] = res["num_points_per_voxel"][order]
     plan_np = sm.build_host_plan(coords1, scales)
 
     B = batch

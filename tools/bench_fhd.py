@@ -84,6 +84,18 @@ def main():
     grid_size = gen.grid_size
     output_shape = [1] + grid_size[::-1].tolist() + [16]
     scales = sm.plan_scales("SpMiddleFHD", output_shape, V)
+    # host-built rulebooks need voxels sorted by linear id
+    # (preprocess.py:218-230 contract)
+    d0, h0, w0 = scales[0]["shape"]
+    lin = np.where(
+        coords[0, :, 0] >= 0,
+        (coords[0, :, 0].astype(np.int64) * h0 + coords[0, :, 1]) * w0
+        + coords[0, :, 2],
+        d0 * h0 * w0)
+    order = np.argsort(lin, kind="stable")
+    voxels = voxels[:, order]
+    num_points = num_points[:, order]
+    coords = coords[:, order]
     t0 = time.perf_counter()
     plan_np = sm.build_host_plan(coords[0], scales)
     t_plan = time.perf_counter() - t0
