@@ -115,7 +115,8 @@ def bench_car_fhd(batch=1):
     from second_tpu.utils.config_tool import read_config
 
     cfg = read_config("/root/reference/second/configs/car.fhd.config")
-    parts = build_network(cfg.model.second, compute_dtype="bfloat16")
+    parts = build_network(cfg.model.second, compute_dtype="bfloat16",
+                          use_banded=True)
     net, spec, gen = parts["net"], parts["spec"], parts["voxel_generator"]
     anchors = parts["anchor_cache"]["anchors"].astype(np.float32)
 
@@ -140,7 +141,7 @@ def bench_car_fhd(batch=1):
     coords1 = coords1[order]
     res["voxels"] = res["voxels"][order]
     res["num_points_per_voxel"] = res["num_points_per_voxel"][order]
-    plan_np = sm.build_host_plan(coords1, scales)
+    plan_np = sm.build_host_plan(coords1, scales, banded=True)
 
     B = batch
     vx = jnp.asarray(np.broadcast_to(

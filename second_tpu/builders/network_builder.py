@@ -93,12 +93,17 @@ def build_model_spec(model_cfg: schema.VoxelNet, target_assigner):
     )
 
 
-def build_network(config, measure_time=False, compute_dtype=None):
+def build_network(config, measure_time=False, compute_dtype=None,
+                  use_banded=False):
     """pipeline config (or model.second config) -> dict of parts.
 
     compute_dtype: None (f32) or "bfloat16"; defaults to bfloat16 when a
     full pipeline config sets train_config.enable_mixed_precision (the
     TPU-native stand-in for the reference's apex fp16, train.py:216-227).
+
+    use_banded: sparse-middle inference via the banded one-hot
+    gather-GEMM Pallas kernel (ops.banded_sparse); ignored by dense
+    middles and by the training path.
     """
     if isinstance(config, schema.TrainEvalPipelineConfig):
         model_cfg = config.model.second
@@ -168,6 +173,7 @@ def build_network(config, measure_time=False, compute_dtype=None):
         voxel_size=tuple(voxel_generator.voxel_size.tolist()),
         pc_range=tuple(voxel_generator.point_cloud_range.tolist()),
         compute_dtype=compute_dtype,
+        use_banded=use_banded,
     )
     return {
         "net": net,

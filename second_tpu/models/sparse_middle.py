@@ -103,11 +103,18 @@ def plan_scales(middle_class_name, output_shape, max_voxels):
     return scales
 
 
-def build_host_plan(coords, scales, return_counts=False):
+def build_host_plan(coords, scales, return_counts=False, banded=False,
+                    banded_cor_capacity=8192):
     """Run the C++ planner over every scale. coords: [V, 3] int32 zyx
     sorted by linear id with -1 padding rows. Returns a flat dict of
     int32 arrays: plan_subm{i} [V_i, 27], plan_coords{i} [V_{i+1}, 3],
     plan_conv{i} [V_{i+1}, K].
+
+    banded=True additionally emits banded one-hot gather plans per
+    scale under plan_bsub{i}_* / plan_bconv{i}_* keys
+    (ops.banded_sparse.host_banded_arrays); the inference fast path
+    consumes these instead of building them on device (~18 ms/rulebook
+    there — layout-hostile int transposes).
 
     Overflow (true active count > static capacity at any stage — spconv
     itself never drops voxels) logs a loud warning with the remedy;
@@ -115,6 +122,9 @@ def build_host_plan(coords, scales, return_counts=False):
     """
     from ..native import sparse_plan as native_plan
     from ..ops.sparse import _kernel_offsets
+
+    if banded:
+        from ..ops import banded_sparse
 
     def _slot_dtype(in_cap):
         # slot values are in [0, in_cap] (in_cap = miss/dump row);
@@ -132,8 +142,14 @@ def build_host_plan(coords, scales, return_counts=False):
             pad = np.array([(kernel[0] - 1) // 2, (kernel[1] - 1) // 2,
                             (kernel[2] - 1) // 2])
             offs = _kernel_offsets(kernel) - pad
-            plan[f"plan_subm{i}"] = native_plan.subm_plan(
-                coords, shape, offs).astype(_slot_dtype(sc["in_cap"]))
+            subm_slots = native_plan.subm_plan(coords, shape, offs)
+            plan[f"plan_subm{i}"] = subm_slots.astype(
+                _slot_dtype(sc["in_cap"]))
+            if banded:
+                for name, a in banded_sparse.host_banded_arrays(
+                        subm_slots, v_in=sc["in_cap"], kx=kernel[2],
+                        cor_capacity=banded_cor_capacity).items():
+                    plan[f"plan_bsub{i}_{name}"] = a
         if sc["down"] is not None:
             kernel, stride, padding = sc["down"]
             offs = _kernel_offsets(kernel)
@@ -146,6 +162,11 @@ def build_host_plan(coords, scales, return_counts=False):
             plan[f"plan_coords{i}"] = out_coords
             plan[f"plan_conv{i}"] = conv_slots.astype(
                 _slot_dtype(sc["in_cap"]))
+            if banded:
+                for name, a in banded_sparse.host_banded_arrays(
+                        conv_slots, v_in=sc["in_cap"], kx=kernel[2],
+                        cor_capacity=banded_cor_capacity).items():
+                    plan[f"plan_bconv{i}_{name}"] = a
             coords = out_coords
     if return_counts:
         return plan, counts
@@ -247,6 +268,12 @@ class SparseMiddleBase(nn.Module):
     num_filters_down2: Sequence[int] = (64, 64)
     topology: Tuple = FHD_TOPOLOGY
     compute_dtype: str = None
+    # Inference fast path: run every conv through the banded one-hot
+    # gather-GEMM Pallas kernel (ops.banded_sparse) instead of the XLA
+    # row-gather path — the gather happens on the MXU.  Training always
+    # uses the XLA path (the kernel defines no VJP).
+    use_banded: bool = False
+    banded_cor_capacity: int = 8192
     # Static active-set capacity multiplier per downsample stage.
     # IMPORTANT: spconv's strided conv DILATES the active set (every
     # output whose kernel window touches an input is active,
@@ -369,6 +396,45 @@ class SparseMiddleBase(nn.Module):
                     down_slots = slots.reshape(
                         b, out_grid.lin.shape[-1], kd)
 
+            # Inference fast path: banded one-hot gather-GEMM kernels.
+            # The banded plan depends only on the rulebook, so it is
+            # built once per scale and shared by every conv on the set.
+            banded = self.use_banded and not train
+            if banded:
+                from ..ops import banded_sparse
+
+                def _host_or_device(prefix, slots_found, v_in, kx,
+                                    vout):
+                    """Prefer host-emitted banded arrays (free: built
+                    in dataloader workers); fall back to the on-device
+                    builder (~18 ms/rulebook, tests + all-device)."""
+                    if plan is not None and f"{prefix}_rel" in plan:
+                        return banded_sparse.plan_from_host(
+                            plan[f"{prefix}_rel"], plan[f"{prefix}_bidx"],
+                            plan[f"{prefix}_hit"], plan[f"{prefix}_cor"],
+                            plan[f"{prefix}_cor_count"],
+                            v_in=v_in, kx=kx, vout=vout)
+                    s_kf, f_kf = slots_found
+                    return banded_sparse.build_banded_plan(
+                        s_kf, f_kf, v_in=v_in, kx=kx,
+                        cor_capacity=self.banded_cor_capacity)
+
+                banded_subm = {}
+                for kernel in subm_kernels:
+                    banded_subm[kernel] = _host_or_device(
+                        f"plan_bsub{scale_idx}", rulebooks[kernel],
+                        v_in=v, kx=kernel[2], vout=v)
+                banded_down = None
+                if down_op is not None:
+                    banded_down = _host_or_device(
+                        f"plan_bconv{scale_idx}",
+                        (down_slots, None), v_in=v,
+                        kx=_t3(down_op[2])[2],
+                        vout=out_grid.lin.shape[-1])
+                    self.sow(
+                        "intermediates", f"banded_cor_scale{scale_idx}",
+                        banded_down.cor_count)
+
             for op in group:
                 if op[0] == "subm":
                     _, cout, kernel = op
@@ -384,7 +450,15 @@ class SparseMiddleBase(nn.Module):
                             f"subm{li}_b", nn.initializers.zeros, (cout,)))
                     if self.compute_dtype is not None:
                         w = w.astype(self.compute_dtype)
-                    grid = sparse.subm_conv(grid, rulebooks[kernel], w, bias)
+                    if banded:
+                        feats = banded_sparse.banded_conv(
+                            grid.features, banded_subm[kernel], w, bias)
+                        feats = jnp.where(
+                            grid.valid[..., None], feats, 0.0)
+                        grid = grid._replace(features=feats)
+                    else:
+                        grid = sparse.subm_conv(
+                            grid, rulebooks[kernel], w, bias)
                 else:
                     _, cout, kernel, stride, pad = op
                     kernel = _t3(kernel)
@@ -399,8 +473,15 @@ class SparseMiddleBase(nn.Module):
                             f"down{li}_b", nn.initializers.zeros, (cout,)))
                     if self.compute_dtype is not None:
                         w = w.astype(self.compute_dtype)
-                    grid = sparse.sparse_conv_apply(
-                        grid, out_grid, down_slots, w, bias)
+                    if banded:
+                        feats = banded_sparse.banded_conv(
+                            grid.features, banded_down, w, bias)
+                        feats = jnp.where(
+                            out_grid.valid[..., None], feats, 0.0)
+                        grid = out_grid._replace(features=feats)
+                    else:
+                        grid = sparse.sparse_conv_apply(
+                            grid, out_grid, down_slots, w, bias)
                 if self.use_norm:
                     feats = MaskedBatchNorm(name=f"bn{li}")(
                         grid.features, mask=grid.valid,

@@ -119,6 +119,9 @@ class VoxelNet(nn.Module):
     voxel_size: Sequence[float] = (0.2, 0.2, 4)
     pc_range: Sequence[float] = (0, -40, -3, 70.4, 40, 1)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" mixed precision
+    # banded one-hot gather-GEMM inference path for sparse middles
+    # (ops.banded_sparse); ignored by dense middles and during training
+    use_banded: bool = False
 
     def setup(self):
         self.voxel_feature_extractor = get_vfe_class(self.vfe_class_name)(
@@ -129,9 +132,10 @@ class VoxelNet(nn.Module):
             voxel_size=tuple(self.voxel_size),
             pc_range=tuple(self.pc_range),
         )
-        self.middle_feature_extractor = get_middle_class(
-            self.middle_class_name
-        )(
+        from .sparse_middle import SparseMiddleBase
+
+        mid_cls = get_middle_class(self.middle_class_name)
+        mid_kwargs = dict(
             output_shape=tuple(self.output_shape),
             use_norm=self.use_norm,
             num_input_features=self.middle_num_input_features,
@@ -139,6 +143,9 @@ class VoxelNet(nn.Module):
             num_filters_down2=tuple(self.middle_num_filters_d2),
             compute_dtype=self.compute_dtype,
         )
+        if issubclass(mid_cls, SparseMiddleBase):
+            mid_kwargs["use_banded"] = self.use_banded
+        self.middle_feature_extractor = mid_cls(**mid_kwargs)
         self.rpn = get_rpn_class(self.rpn_class_name)(
             use_norm=self.use_norm,
             num_class=self.num_class,

@@ -1,0 +1,398 @@
+"""Banded one-hot gather-GEMM sparse convolution (TPU Pallas kernel).
+
+The TPU executes row-gathers at ~8 cycles/row (a sequential DMA-
+descriptor loop), which makes the straightforward gather->GEMM sparse
+conv in :mod:`second_tpu.ops.sparse` HBM-descriptor-bound: the car.fhd
+middle spends ~60 ms/frame issuing ~16M row gathers.  The MXU, by
+contrast, runs dense bf16 matmuls at >200 TF/s.  This module performs
+the gather ON the MXU:
+
+  * Voxels are sorted by linearized coordinate (the SparseGrid
+    contract), so for each kernel offset the neighbor-slot array is
+    monotonic: 128 consecutive outputs read from a narrow WINDOW of the
+    feature table (p99 span < ~750 rows on KITTI-scale scenes).
+  * For each (tile of 128 outputs, x-triple of kernel offsets) the
+    kernel DMAs two 512-row blocks of the sorted feature table and
+    gathers via ``one_hot(rel_slot) @ window`` — a [512, 128]^T x
+    [512, C] MXU matmul — then applies the weights for the triple's
+    three offsets with a single [128, 3C] x [3C, Cout] matmul.
+  * Offsets are grouped in x-triples (dx = -1/0/+1 share a (dz, dy))
+    because their windows coincide; misses and absent offsets encode as
+    rel = -1, which one-hot-matches nothing and contributes zero.
+  * The ~1% of (tile, triple) pairs whose span exceeds the window
+    ("outliers", z/y-line discontinuities in the sort order) fall back
+    to a capacity-bounded CSR pass: gather the affected (out, in, k)
+    entries row-wise, apply per-entry weights, scatter-add.  Overflow
+    of the static correction capacity is counted, never silent.
+
+The banded plan (window starts, relative slots, hit flags, correction
+lists) is derived ON DEVICE from the same slot rulebooks the XLA path
+uses (host-planned via second_tpu.native, or device-built) — a few
+cheap elementwise/reduction passes — so no extra host->device traffic
+and no planner changes.  The plan depends only on the active set, so
+it is built once per scale and shared by every conv on that set
+(spconv ``indice_key`` semantics, reference
+second/pytorch/models/middle.py:146-190).
+
+Inference-path only: the Pallas kernel defines no VJP.  Training uses
+the XLA gather path (`ops.sparse`).
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+M = 128          # output rows per tile
+BLK = 512        # feature-table block; window = 2 consecutive blocks
+KX_PAD = 8       # sublane padding for the per-triple rel array
+
+
+class BandedPlan(NamedTuple):
+    """Device-side banded gather plan for one rulebook [B, Vout, K].
+
+    ``shape`` is static metadata (registered as pytree aux data below,
+    so a plan crosses jit boundaries without the ints turning into
+    tracers)."""
+
+    bidx: jnp.ndarray      # [BT, G] int32 global window block index
+    hit: jnp.ndarray       # [BT, G] int32 0/1 (any in-window hit)
+    rel: jnp.ndarray       # [BT, G, KX_PAD, M] int32, -1 = miss
+    cor_out: jnp.ndarray   # [B, R] int32 out row (Vout = pad/dump)
+    cor_in: jnp.ndarray    # [B, R] int32 in slot (into padded table)
+    cor_k: jnp.ndarray     # [B, R] int32 kernel offset index
+    cor_count: jnp.ndarray  # [B] int32 TRUE correction count (overflow obs.)
+    shape: tuple           # static: (B, Vout, K, KX, G, T, Vin, Vp)
+
+
+jax.tree_util.register_pytree_node(
+    BandedPlan,
+    lambda p: (tuple(p[:-1]), p.shape),
+    lambda shape, leaves: BandedPlan(*leaves, shape=shape),
+)
+
+
+def _grouping(K, kx):
+    """Offsets are enumerated C-order over (dz, dy, dx) (sparse.py
+    _kernel_offsets), so consecutive runs of ``kx`` share (dz, dy)."""
+    assert K % kx == 0, (K, kx)
+    return K // kx
+
+
+def table_pad(v):
+    """Padded feature-table length: room for the b+1 window block."""
+    return (-(-v // BLK) + 1) * BLK
+
+
+def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
+    """slots [B, Vout, K] int32 (miss >= v_in), found [B, Vout, K] bool
+    or None -> BandedPlan.  kx: kernel x-extent (offset group size).
+    All ops are jit-traceable; runs once per (active set, kernel).
+    """
+    b, vout, k = slots.shape
+    g = _grouping(k, kx)
+    t = -(-vout // M)
+    vp = table_pad(v_in)
+    miss = slots >= v_in
+    if found is not None:
+        miss = miss | ~found
+    s = jnp.where(miss, jnp.int32(2 ** 30), slots.astype(jnp.int32))
+    pad_rows = t * M - vout
+    if pad_rows:
+        s = jnp.concatenate(
+            [s, jnp.full((b, pad_rows, k), 2 ** 30, jnp.int32)], axis=1)
+    s = s.reshape(b, t, M, g, kx)
+    valid = s < 2 ** 30
+    gmin = s.min(axis=(2, 4))                      # [B, T, G]
+    gmax = jnp.where(valid, s, -1).max(axis=(2, 4))
+    b0 = jnp.clip(gmin // BLK, 0, vp // BLK - 2)
+    in_win = s < (b0[:, :, None, :, None] + 2) * BLK
+    rel = jnp.where(valid & in_win,
+                    s - b0[:, :, None, :, None] * BLK, -1)
+    hit = (gmax >= 0) & (rel >= 0).any(axis=(2, 4))  # any in-window hit
+
+    # fill miss pairs' block index with the previous hit pair's (the
+    # Pallas pipeline skips the DMA when the index repeats)
+    hit_f = hit.reshape(-1)
+    b0_f = b0.reshape(-1)
+    idx = jnp.where(hit_f, jnp.arange(hit_f.shape[0]), -1)
+    last = jax.lax.associative_scan(jnp.maximum, idx)
+    bidx = jnp.where(hit_f, b0_f, b0_f[jnp.clip(last, 0)])
+    # per-batch table offset into the stacked [B*Vp, C] table
+    bidx = bidx.reshape(b, t, g) + (
+        jnp.arange(b, dtype=jnp.int32)[:, None, None] * (vp // BLK))
+
+    # rel -> [B*T, G, KX_PAD, M]
+    rel = rel.transpose(0, 1, 3, 4, 2)             # [B, T, G, KX, M]
+    rel = jnp.pad(rel, ((0, 0),) * 3 + ((0, KX_PAD - kx), (0, 0)),
+                  constant_values=-1)
+    rel = rel.reshape(b * t, g, KX_PAD, M)
+
+    # CSR corrections: valid slots outside their pair's window
+    need = (valid & ~in_win).reshape(b, t * M * g * kx)
+    cor_count = need.sum(axis=1).astype(jnp.int32)
+
+    def one(args):
+        need_row, s_row = args
+        (pos,) = jnp.nonzero(need_row, size=cor_capacity,
+                             fill_value=need_row.shape[0])
+        # decode flat (t, m, g, kx) -> out row, k
+        tm = pos // (g * kx)
+        gk = pos % (g * kx)
+        out_row = jnp.where(pos < need_row.shape[0], tm, vout)
+        kk = gk  # (g, kx) flat == k (C-order grouping)
+        in_slot = jnp.where(
+            pos < need_row.shape[0],
+            s_row[jnp.clip(pos, 0, need_row.shape[0] - 1)], 0)
+        return (out_row.astype(jnp.int32), in_slot.astype(jnp.int32),
+                kk.astype(jnp.int32))
+
+    cor_out, cor_in, cor_k = jax.lax.map(
+        one, (need, s.reshape(b, t * M * g * kx)))
+
+    return BandedPlan(
+        bidx=bidx.reshape(b * t, g).astype(jnp.int32),
+        hit=hit.reshape(b * t, g).astype(jnp.int32),
+        rel=rel.astype(jnp.int32),
+        cor_out=cor_out, cor_in=cor_in, cor_k=cor_k,
+        cor_count=cor_count,
+        shape=(b, vout, k, kx, g, t, v_in, vp),
+    )
+
+
+def _make_kernel(kx, c, cout, out_dtype):
+    from jax.experimental import pallas as pl
+
+    def kernel(bidx_ref, hit_ref, rel_ref, w_ref, win0_ref, win1_ref,
+               out_ref, acc_ref):
+        t = pl.program_id(0)
+        gi = pl.program_id(1)
+        ng = pl.num_programs(1)
+
+        @pl.when(gi == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(hit_ref[t, gi] == 1)
+        def _():
+            w0 = win0_ref[:]
+            w1 = win1_ref[:]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, M), 0)
+            dn = (((0,), (0,)), ((), ()))
+            parts = []
+            for x in range(kx):
+                relx = rel_ref[0, 0, x, :]           # [M] lanes
+                oh0 = (relx[None, :] == iota).astype(w0.dtype)
+                oh1 = (relx[None, :] - BLK == iota).astype(w0.dtype)
+                gx = (jax.lax.dot_general(
+                        oh0, w0, dn, preferred_element_type=jnp.float32)
+                      + jax.lax.dot_general(
+                        oh1, w1, dn, preferred_element_type=jnp.float32))
+                parts.append(gx.astype(w0.dtype))
+            g3 = jnp.concatenate(parts, axis=1)      # [M, kx*C]
+            acc_ref[:] += jax.lax.dot(
+                g3, w_ref[0], preferred_element_type=jnp.float32)
+
+        @pl.when(gi == ng - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kx", "g", "t", "interpret", "out_dtype"))
+def _banded_call(table, bidx, hit, rel, wg, kx, g, t,
+                 out_dtype, interpret=False):
+    """table [B*Vp, C]; wg [G, kx*C, Cout] -> [B*T*M, Cout]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, c = table.shape
+    cout = wg.shape[-1]
+    bt = rel.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # bidx, hit
+        grid=(bt, g),
+        in_specs=[
+            pl.BlockSpec((1, 1, KX_PAD, M),
+                         lambda ti, gi, bi, hi: (ti, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kx * c, cout),
+                         lambda ti, gi, bi, hi: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, c),
+                         lambda ti, gi, bi, hi: (bi[ti, gi], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, c),
+                         lambda ti, gi, bi, hi: (bi[ti, gi] + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, cout),
+                               lambda ti, gi, bi, hi: (ti, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((M, cout), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _make_kernel(kx, c, cout, out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bt * M, cout), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(bidx, hit, rel, wg, table, table)
+
+
+def banded_conv(features, plan: BandedPlan, weights, bias=None,
+                interpret=None):
+    """features [B, Vin, C] (rows sorted by linear id, padding rows
+    zero), plan from :func:`build_banded_plan`, weights [K, Cin, Cout].
+    Returns [B, Vout, Cout] in the features dtype (f32 accumulation).
+
+    interpret: None = auto (Pallas interpret mode off TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, vout, k, kx, g, t, v_in, vp = plan.shape
+    _, vin_rows, c = features.shape
+    cout = weights.shape[-1]
+    dtype = features.dtype
+
+    table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
+    wg = weights.astype(dtype).reshape(g, kx * c, cout)
+    out = _banded_call(
+        table.reshape(b * vp, c), plan.bidx, plan.hit, plan.rel, wg,
+        kx=kx, g=g, t=t, out_dtype=dtype, interpret=interpret)
+    out = out.reshape(b, t * M, cout)[:, :vout]
+
+    # CSR corrections for out-of-window entries.  Per-entry weight
+    # selection via a one-hot expansion [R, K*C] @ [K*C, Cout] (a
+    # per-entry W gather would move R x C x Cout of weight rows).
+    r = plan.cor_out.shape[1]
+    if r:
+        w_flat = weights.astype(dtype).reshape(k * c, cout)
+
+        def one(args):
+            tab, co, ci, ck, o = args
+            rows = tab[jnp.clip(ci, 0, vp - 1)]          # [R, C]
+            ohk = (ck[:, None] == jnp.arange(k)[None, :]).astype(dtype)
+            expanded = (ohk[:, :, None] * rows[:, None, :]).reshape(
+                r, k * c)
+            contrib = jax.lax.dot(
+                expanded, w_flat, preferred_element_type=jnp.float32)
+            return o.at[jnp.clip(co, 0, vout - 1)].add(
+                jnp.where((co < vout)[:, None], contrib, 0.0)
+                .astype(dtype),
+                mode="drop")
+
+        out = jax.lax.map(
+            one, (table, plan.cor_out, plan.cor_in, plan.cor_k, out))
+
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side banded planning (numpy twin of build_banded_plan).
+#
+# Building the plan on device costs ~18 ms/rulebook (layout-hostile
+# transposes of [B,T,M,G,KX] int tensors); in production the planner
+# runs in dataloader workers and overlaps device compute, exactly like
+# the C++ rulebook builder it extends.
+# ---------------------------------------------------------------------------
+
+
+def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
+    """numpy: slots [Vout, K] (miss >= v_in) -> dict of per-example
+    arrays (unbatched; the loader stacks them and
+    :func:`plan_from_host` assembles the device BandedPlan):
+
+      rel  [T, G, kx, M] int16  (-1 = miss/out-of-window)
+      bidx [T, G] int32         (window block index, no batch offset)
+      hit  [T, G] int32
+      cor  [3, R] int32         ((out_row, in_slot, k); out_row ==
+                                 Vout marks padding)
+      cor_count [1] int32       (TRUE count, overflow observability)
+    """
+    vout, k = slots.shape
+    g = _grouping(k, kx)
+    t = -(-vout // M)
+    vp = table_pad(v_in)
+    big = np.int32(2 ** 30)
+    s = slots.astype(np.int32, copy=True)
+    s[s >= v_in] = big
+    if t * M - vout:
+        s = np.concatenate(
+            [s, np.full((t * M - vout, k), big, np.int32)], 0)
+    # one contiguous transpose into the target [T, G, KX, M] layout;
+    # every later pass reduces/broadcasts over trailing axes
+    sk = np.ascontiguousarray(
+        s.reshape(t, M, g, kx).transpose(0, 2, 3, 1))
+    valid = sk < big
+    gmin = sk.min(axis=(2, 3))                      # [T, G]
+    gmax = np.where(valid, sk, -1).max(axis=(2, 3))
+    b0 = np.clip(gmin // BLK, 0, vp // BLK - 2)
+    lim = ((b0 + 2) * BLK)[:, :, None, None]
+    base = (b0 * BLK)[:, :, None, None]
+    in_win = sk < lim
+    rel = np.where(valid & in_win, sk - base, -1)   # [T, G, KX, M]
+    hit = (gmax >= 0) & (rel >= 0).any(axis=(2, 3))
+
+    hit_f = hit.reshape(-1)
+    b0_f = b0.reshape(-1)
+    idx = np.where(hit_f, np.arange(hit_f.size), -1)
+    last = np.maximum.accumulate(idx)
+    bidx = np.where(hit_f, b0_f, b0_f[np.clip(last, 0, None)])
+
+    need = valid & ~in_win                          # [T, G, KX, M]
+    cor_count = int(need.sum())
+    r = cor_capacity
+    cor = np.zeros((3, r), np.int32)
+    cor[0, :] = vout                                # padding marker
+    (flat,) = np.nonzero(need.reshape(-1))
+    n = min(len(flat), r)
+    if n:
+        fl = flat[:n]
+        m_i = fl % M
+        gk = (fl // M) % (g * kx)
+        t_i = fl // (M * g * kx)
+        cor[0, :n] = t_i * M + m_i
+        cor[1, :n] = sk.reshape(-1)[fl]
+        cor[2, :n] = gk                             # (g, kx) flat == k
+    return {
+        "rel": rel.astype(np.int16),
+        "bidx": bidx.reshape(t, g).astype(np.int32),
+        "hit": hit.astype(np.int32),
+        "cor": cor,
+        "cor_count": np.array([cor_count], np.int32),
+    }
+
+
+def plan_from_host(rel, bidx, hit, cor, cor_count, v_in, kx,
+                   vout=None):
+    """Assemble a BandedPlan from loader-stacked host arrays:
+    rel [B, T, G, kx, M] int16, bidx/hit [B, T, G], cor [B, 3, R],
+    cor_count [B, 1]."""
+    b, t, g = bidx.shape
+    vout_cap = vout if vout is not None else t * M
+    k = g * kx
+    vp = table_pad(v_in)
+    rel8 = jnp.pad(rel.astype(jnp.int32),
+                   ((0, 0),) * 3 + ((0, KX_PAD - kx), (0, 0)),
+                   constant_values=-1)
+    bidx = bidx.astype(jnp.int32) + (
+        jnp.arange(b, dtype=jnp.int32)[:, None, None] * (vp // BLK))
+    return BandedPlan(
+        bidx=bidx.reshape(b * t, g),
+        hit=hit.astype(jnp.int32).reshape(b * t, g),
+        rel=rel8.reshape(b * t, g, KX_PAD, M),
+        cor_out=cor[:, 0, :].astype(jnp.int32),
+        cor_in=cor[:, 1, :].astype(jnp.int32),
+        cor_k=cor[:, 2, :].astype(jnp.int32),
+        cor_count=cor_count.reshape(b, -1)[:, 0].astype(jnp.int32),
+        shape=(b, vout_cap, k, kx, g, t, v_in, vp),
+    )

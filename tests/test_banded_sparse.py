@@ -1,0 +1,199 @@
+"""Parity tests: banded one-hot gather-GEMM conv vs the XLA gather
+path (ops.sparse), on random sparse grids incl. forced outliers.
+
+The Pallas kernel runs in interpret mode on the CPU test mesh; the
+same code compiles natively on TPU (driven by tools/bench_fhd.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from second_tpu.ops import banded_sparse as bs
+from second_tpu.ops import sparse
+
+
+def _random_grid(rng, b, v, c, shape, density):
+    d, h, w = shape
+    feats = np.zeros((b, v, c), np.float32)
+    coords = np.full((b, v, 3), -1, np.int32)
+    for bi in range(b):
+        n = min(int(v * density), v)
+        lin = rng.choice(d * h * w, size=n, replace=False)
+        lin.sort()
+        coords[bi, :n, 0] = lin // (h * w)
+        coords[bi, :n, 1] = (lin % (h * w)) // w
+        coords[bi, :n, 2] = lin % w
+        feats[bi, :n] = rng.randn(n, c)
+    return sparse.from_voxel_coords(
+        jnp.asarray(feats), jnp.asarray(coords), shape)
+
+
+@pytest.mark.parametrize("kernel_size", [(3, 3, 3), (3, 1, 1)])
+def test_banded_subm_matches_gather(kernel_size):
+    rng = np.random.RandomState(0)
+    b, v, c, cout = 2, 640, 16, 32
+    shape = (6, 40, 40)
+    grid = _random_grid(rng, b, v, c, shape, density=0.9)
+    rulebook = sparse.build_subm_rulebook(grid, kernel_size)
+    k = int(np.prod(kernel_size))
+    w = jnp.asarray(rng.randn(k, c, cout).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.01)
+
+    ref = sparse.subm_conv(grid, rulebook, w, bias).features
+
+    slots, found = rulebook
+    plan = bs.build_banded_plan(slots, found, v_in=v,
+                               kx=kernel_size[2], cor_capacity=512)
+    out = bs.banded_conv(grid.features, plan, w, bias, interpret=True)
+    # padding rows: reference zeroes them (valid mask); banded adds bias
+    # everywhere -- compare active rows only
+    valid = np.asarray(grid.valid)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid],
+        rtol=1e-4, atol=1e-4)
+    assert int(jnp.max(plan.cor_count)) <= 512
+
+
+def test_banded_downsample_matches_gather():
+    rng = np.random.RandomState(1)
+    b, v, c, cout = 2, 512, 8, 16
+    shape = (6, 32, 32)
+    kernel, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    grid = _random_grid(rng, b, v, c, shape, density=0.8)
+    out_grid = sparse.downsample_active_set(
+        grid, kernel, stride, pad, out_capacity=1024)
+    k = int(np.prod(kernel))
+    w = jnp.asarray(rng.randn(k, c, cout).astype(np.float32) * 0.1)
+
+    ref = sparse.sparse_conv(grid, out_grid, w, kernel, stride, pad)
+
+    ilin, ok, _ = sparse.sparse_conv_queries(
+        grid, out_grid, kernel, stride, pad)
+    slots, found = sparse._lookup(grid.lin, ilin, ok, grid.sentinel)
+    vout = out_grid.lin.shape[-1]
+    slots = slots.reshape(b, vout, k)
+    found = found.reshape(b, vout, k)
+    plan = bs.build_banded_plan(slots, found, v_in=v, kx=kernel[2],
+                               cor_capacity=1024)
+    out = bs.banded_conv(grid.features, plan, w, interpret=True)
+    valid = np.asarray(out_grid.valid)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref.features)[valid],
+        rtol=1e-4, atol=1e-4)
+
+
+def test_banded_outlier_corrections():
+    """Shuffle-free but long-span grid: force out-of-window neighbors
+    so the CSR correction path carries real contributions."""
+    rng = np.random.RandomState(2)
+    b, v, c, cout = 1, 4096, 8, 8
+    shape = (8, 128, 64)
+    grid = _random_grid(rng, b, v, c, shape, density=0.9)
+    kernel = (3, 3, 3)
+    rulebook = sparse.build_subm_rulebook(grid, kernel)
+    k = int(np.prod(kernel))
+    w = jnp.asarray(rng.randn(k, c, cout).astype(np.float32) * 0.1)
+
+    # Corrupt ~500 entries to far-away active slots: real scenes
+    # produce such out-of-window neighbors at density discontinuities
+    # (measured spans up to ~11k rows on car.fhd); a gather-GEMM over
+    # slots is oblivious to where the slots came from, so parity is
+    # still exact.
+    slots_np = np.asarray(rulebook[0]).copy()
+    found_np = np.asarray(rulebook[1]).copy()
+    n_act = int(np.asarray(grid.valid).sum())
+    rows = rng.randint(0, n_act, 500)
+    ks = rng.randint(0, k, 500)
+    far = (rows + n_act // 2) % n_act
+    slots_np[0, rows, ks] = far
+    found_np[0, rows, ks] = True
+    rulebook = (jnp.asarray(slots_np), jnp.asarray(found_np))
+
+    ref = sparse.subm_conv(grid, rulebook, w).features
+    slots, found = rulebook
+    plan = bs.build_banded_plan(slots, found, v_in=v, kx=3,
+                               cor_capacity=16384)
+    assert int(jnp.max(plan.cor_count)) > 0, "test must exercise outliers"
+    assert int(jnp.max(plan.cor_count)) <= 16384
+    out = bs.banded_conv(grid.features, plan, w, interpret=True)
+    valid = np.asarray(grid.valid)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid],
+        rtol=1e-4, atol=1e-4)
+
+
+def test_correction_overflow_is_counted():
+    rng = np.random.RandomState(3)
+    b, v, c = 1, 2048, 8
+    shape = (8, 64, 16)
+    grid = _random_grid(rng, b, v, c, shape, density=0.95)
+    rulebook = sparse.build_subm_rulebook(grid, (3, 3, 3))
+    slots_np = np.asarray(rulebook[0]).copy()
+    found_np = np.asarray(rulebook[1]).copy()
+    n_act = int(np.asarray(grid.valid).sum())
+    rows = rng.randint(0, n_act, 64)
+    ks = rng.randint(0, 27, 64)
+    slots_np[0, rows, ks] = (rows + n_act // 2) % n_act
+    found_np[0, rows, ks] = True
+    plan = bs.build_banded_plan(
+        jnp.asarray(slots_np), jnp.asarray(found_np), v_in=v, kx=3,
+        cor_capacity=4)
+    # true count is reported even when > capacity
+    assert int(jnp.max(plan.cor_count)) > 4
+
+
+def test_banded_middle_matches_gather_path():
+    """SpMiddleFHD with use_banded=True must reproduce the XLA gather
+    path on both the device-rulebook and host-plan paths."""
+    from second_tpu.models import sparse_middle as sm
+    from second_tpu.models.registry import get_middle_class
+
+    rng = np.random.RandomState(7)
+    v, c = 600, 16
+    output_shape = (1, 20, 64, 64, c)
+    shape = (21, 64, 64)
+    sentinel = shape[0] * shape[1] * shape[2]
+    n_active = 400
+    lin = np.sort(rng.choice(sentinel, size=n_active, replace=False))
+    coords = np.full((v, 3), -1, np.int32)
+    coords[:n_active] = np.stack(
+        [lin // (shape[1] * shape[2]),
+         (lin % (shape[1] * shape[2])) // shape[2],
+         lin % shape[2]], -1)
+    feats = np.zeros((v, c), np.float32)
+    feats[:n_active] = rng.randn(n_active, c).astype(np.float32)
+
+    cls = get_middle_class("SpMiddleFHD")
+    mid = cls(output_shape=output_shape, num_input_features=c)
+    mid_banded = cls(output_shape=output_shape, num_input_features=c,
+                     use_banded=True, banded_cor_capacity=2048)
+    fj, cj = jnp.asarray(feats)[None], jnp.asarray(coords)[None]
+    variables = mid.init(jax.random.PRNGKey(0), fj, cj)
+
+    ref = mid.apply(variables, fj, cj)
+    out = mid_banded.apply(variables, fj, cj)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    scales = sm.plan_scales("SpMiddleFHD", output_shape, v)
+    plan_np = sm.build_host_plan(coords, scales)
+    plan = {k: jnp.asarray(np.asarray(x))[None] for k, x in plan_np.items()}
+    out_plan = mid_banded.apply(variables, fj, cj, plan=plan)
+    np.testing.assert_allclose(
+        np.asarray(out_plan), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    # host-emitted banded arrays (the production inference path)
+    plan_b = sm.build_host_plan(coords, scales, banded=True,
+                                banded_cor_capacity=2048)
+    plan_b = {k: jnp.asarray(np.asarray(x))[None]
+              for k, x in plan_b.items()}
+    out_hb = mid_banded.apply(variables, fj, cj, plan=plan_b)
+    np.testing.assert_allclose(
+        np.asarray(out_hb), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    # training ignores use_banded (the kernel has no VJP)
+    out_train, _ = mid_banded.apply(
+        variables, fj, cj, train=True, mutable=["batch_stats",
+                                                "intermediates"])

@@ -42,6 +42,8 @@ def main():
                     help="also time middle/rpn/predict sub-programs")
     ap.add_argument("--skip_noplan", action="store_true",
                     help="skip the all-device (no host planner) variant")
+    ap.add_argument("--banded", action="store_true",
+                    help="banded one-hot gather-GEMM Pallas kernels")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +57,8 @@ def main():
 
     cfg = read_config("/root/reference/second/configs/car.fhd.config")
     compute_dtype = None if args.dtype == "float32" else args.dtype
-    parts = build_network(cfg.model.second, compute_dtype=compute_dtype)
+    parts = build_network(cfg.model.second, compute_dtype=compute_dtype,
+                          use_banded=args.banded)
     net, spec, gen = parts["net"], parts["spec"], parts["voxel_generator"]
     anchors = parts["anchor_cache"]["anchors"].astype(np.float32)
 
@@ -97,7 +100,7 @@ def main():
     num_points = num_points[:, order]
     coords = coords[:, order]
     t0 = time.perf_counter()
-    plan_np = sm.build_host_plan(coords[0], scales)
+    plan_np = sm.build_host_plan(coords[0], scales, banded=args.banded)
     t_plan = time.perf_counter() - t0
     print(f"host plan: {t_plan*1e3:.2f} ms/frame (1 core)")
     for i, sc in enumerate(scales):
