@@ -22,10 +22,18 @@ def build(input_reader_config: schema.InputReader,
           voxel_generator,
           target_assigner,
           anchor_cache=None,
-          device_voxelize=False):
+          device_voxelize=False,
+          quantize_points=False,
+          compact_targets=None):
     """device_voxelize: ship the augmented point cloud instead of the
     padded voxel buffer; the jitted step voxelizes on device (PP-family
-    only — ignored when the sparse middle's host planner is active)."""
+    only — ignored when the sparse middle's host planner is active).
+
+    quantize_points: with device_voxelize, int16-quantize the shipped
+    points (~1 mm max error; halves the dominant H2D buffer).
+    compact_targets: ship int8 labels + sparse positive regression
+    targets instead of the dense [A, code] buffer; defaults to
+    device_voxelize (the jitted step reconstructs them)."""
     prep_cfg = input_reader_config.preprocess
     dataset_cfg = input_reader_config.dataset
     num_point_features = model_config.num_point_features
@@ -107,6 +115,10 @@ def build(input_reader_config: schema.InputReader,
         emit_points=(
             POINTS_BUFFER
             if device_voxelize and sparse_plan_scales is None else 0),
+        quantize_points=quantize_points,
+        compact_targets=(
+            (device_voxelize and sparse_plan_scales is None and training)
+            if compact_targets is None else compact_targets),
     )
 
     dataset = dataset_cls(

@@ -59,6 +59,9 @@ def prep_pointcloud(input_dict,
                     sample_importance=1.0,
                     sparse_plan_scales=None,
                     emit_points=0,
+                    quantize_points=False,
+                    compact_targets=False,
+                    pos_capacity=1024,
                     out_dtype=np.float32):
     """Returns a fixed-shape example dict.
 
@@ -73,6 +76,17 @@ def prep_pointcloud(input_dict,
     bytes, and H2D is the train-loop bottleneck). Host voxelization
     still runs for anchors_mask; mutually exclusive with
     sparse_plan_scales (the planner needs host voxels).
+
+    quantize_points: with emit_points, ship int16-quantized points
+    ("points_q", data/point_quant.py affine; ~1 mm max coordinate
+    error) — halves the dominant H2D buffer.
+
+    compact_targets: ship per-anchor labels as int8 plus ONLY the
+    positive anchors' regression targets ("pos_idx"/"pos_targets"/
+    "pos_count", capacity ``pos_capacity``) instead of the dense
+    [A, code] float buffer that is ~zero everywhere; the jitted step
+    scatters them back (train/state.py). Positive-count overflow is
+    truncated and reported in "pos_count" (> capacity).
     """
     t = time.time()
     class_names = target_assigner.classes
@@ -205,10 +219,18 @@ def prep_pointcloud(input_dict,
         assert sparse_plan_scales is None, (
             "emit_points is for device-voxelizing models; the sparse "
             "middle family needs host voxels for the rulebook planner")
-        buf = np.zeros((emit_points, points.shape[1]), out_dtype)
         count = min(len(points), emit_points)
-        buf[:count] = points[:count]
-        example["points"] = buf
+        if quantize_points:
+            from .point_quant import quantize, ranges
+
+            lo, hi = ranges(pc_range, points.shape[1])
+            buf = np.zeros((emit_points, points.shape[1]), np.int16)
+            buf[:count] = quantize(points[:count], lo, hi)
+            example["points_q"] = buf
+        else:
+            buf = np.zeros((emit_points, points.shape[1]), out_dtype)
+            buf[:count] = points[:count]
+            example["points"] = buf
         example["points_count"] = np.array([count], np.int32)
         # the padded voxel buffer is ~100x the points' bytes; the
         # device re-voxelizes inside the jitted step
@@ -284,11 +306,32 @@ def prep_pointcloud(input_dict,
             matched_thresholds=matched_thresholds,
             unmatched_thresholds=unmatched_thresholds,
             importance=gt_dict["gt_importance"])
-        example.update({
-            "labels": targets_dict["labels"],
-            "reg_targets": targets_dict["bbox_targets"].astype(out_dtype),
-            "importance": targets_dict["importance"].astype(out_dtype),
-        })
+        labels = targets_dict["labels"]
+        reg_targets = targets_dict["bbox_targets"].astype(out_dtype)
+        if compact_targets:
+            # dense [A, code] reg targets are ~6 MB of zeros per
+            # example; ship only the positive rows + int8 labels
+            (pos,) = np.nonzero(labels > 0)
+            n_pos = len(pos)
+            pos_idx = np.full(pos_capacity, len(labels), np.int32)
+            pos_tgt = np.zeros((pos_capacity, reg_targets.shape[1]),
+                               np.float32)
+            m = min(n_pos, pos_capacity)
+            pos_idx[:m] = pos[:m]
+            pos_tgt[:m] = reg_targets[pos[:m]]
+            example.update({
+                "labels_i8": labels.astype(np.int8),
+                "pos_idx": pos_idx,
+                "pos_targets": pos_tgt,
+                "pos_count": np.array([n_pos], np.int32),
+            })
+        else:
+            example.update({
+                "labels": labels,
+                "reg_targets": reg_targets,
+            })
+        example["importance"] = targets_dict["importance"].astype(
+            out_dtype)
     return example
 
 

@@ -35,7 +35,12 @@ def example_convert(example, dtype=np.float32):
         "num_points": np.int32,
         "coordinates": np.int32,
         "points": dtype,
+        "points_q": np.int16,
         "points_count": np.int32,
+        "labels_i8": np.int8,
+        "pos_idx": np.int32,
+        "pos_targets": np.float32,
+        "pos_count": np.int32,
         "anchors": dtype,
         "labels": np.int32,
         "reg_targets": dtype,
@@ -70,7 +75,7 @@ def _restore_or_init(model_dir, net, tx, example, resume,
         vx, npts, crd = (example["voxels"], example["num_points"],
                          example["coordinates"])
     else:  # device-voxelize examples ship points; init from shapes
-        b = example["points"].shape[0]
+        b = example.get("points", example.get("points_q")).shape[0]
         v, t, f = voxel_shapes
         vx = np.zeros((b, v, t, f), np.float32)
         npts = np.zeros((b, v), np.int32)
@@ -101,7 +106,8 @@ def train(config_path,
           batch_size=None,
           num_workers=None,
           loader_mode="auto",
-          device_voxelize="auto"):
+          device_voxelize="auto",
+          quantize_points=True):
     """Train a detector with the given pipeline config.
 
     device_voxelize: "auto" (default) ships the augmented POINTS and
@@ -109,6 +115,10 @@ def train(config_path,
     planner (PointPillars family) — the padded [V, T, F] voxel buffer
     is ~100x the points' bytes and dominates H2D otherwise. Set False
     to always ship host-built voxels.
+
+    quantize_points: with device_voxelize, int16-quantize the shipped
+    train points (~1 mm max coordinate error, 50x below the smallest
+    voxel size; see data/point_quant.py). Eval always ships f32.
 
     profile_steps: if > 0, capture a jax.profiler trace of that many
     steps (starting at step 2, after compilation) into
@@ -150,7 +160,8 @@ def train(config_path,
         voxel_generator=parts["voxel_generator"],
         target_assigner=parts["target_assigner"],
         anchor_cache=parts["anchor_cache"],
-        device_voxelize=device_voxelize)
+        device_voxelize=device_voxelize,
+        quantize_points=device_voxelize and quantize_points)
     eval_dataset = dataset_builder.build(
         cfg.eval_input_reader, parts["model_cfg"], training=False,
         voxel_generator=parts["voxel_generator"],

@@ -24,7 +24,18 @@ def make_voxelizer_fn(voxel_generator, max_voxels):
     t = int(voxel_generator.max_num_points_per_voxel)
     full_mean = bool(getattr(voxel_generator, "full_mean", False))
 
+    pc_range = tuple(float(v) for v in voxel_generator.point_cloud_range)
+
     def fn(points, points_count):
+        if points.dtype == jnp.int16:
+            # int16-quantized points (data/point_quant.py affine)
+            from ..data.point_quant import ranges
+
+            lo, hi = ranges(pc_range, points.shape[-1])
+            lo, hi = jnp.asarray(lo), jnp.asarray(hi)
+            points = ((points.astype(jnp.float32) + 32768.0) / 65535.0
+                      ) * (hi - lo) + lo
+
         def one(p, c):
             voxels, coords, counts, _ = voxelize(
                 p, c[0], voxel_size, range_min, grid_size=grid,
@@ -38,13 +49,36 @@ def make_voxelizer_fn(voxel_generator, max_voxels):
 
 
 def _network_inputs(example, voxelizer):
-    if "points" in example:
+    pts = example.get("points", example.get("points_q"))
+    if pts is not None:
         assert voxelizer is not None, (
             "example ships raw points; build the step with "
             "voxelizer=make_voxelizer_fn(...)")
-        return voxelizer(example["points"], example["points_count"])
+        return voxelizer(pts, example["points_count"])
     return (example["voxels"], example["num_points"],
             example["coordinates"])
+
+
+def _expand_targets(example, code_size):
+    """Reconstruct dense labels/reg_targets from the compact H2D form
+    (int8 labels + sparse positive rows, preprocess.py compact_targets)
+    inside the jitted step."""
+    if "labels_i8" not in example:
+        return example
+    ex = dict(example)
+    labels = ex.pop("labels_i8").astype(jnp.int32)
+    pos_idx = ex.pop("pos_idx")
+    pos_tgt = ex.pop("pos_targets")
+    ex.pop("pos_count")
+    b, a = labels.shape
+
+    def scatter(idx, tgt):
+        return jnp.zeros((a, code_size), tgt.dtype).at[idx].set(
+            tgt, mode="drop")
+
+    ex["labels"] = labels
+    ex["reg_targets"] = jax.vmap(scatter)(pos_idx, pos_tgt)
+    return ex
 
 
 class TrainState(struct.PyTreeNode):
@@ -77,6 +111,7 @@ def make_train_step(net, spec, tx, mesh=None, voxelizer=None):
     """
 
     def step(state, example):
+        example = _expand_targets(example, spec.box_code_size)
         plan = {k: v for k, v in example.items()
                 if k.startswith("plan_")}
         voxels, num_points, coords = _network_inputs(example, voxelizer)

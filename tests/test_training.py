@@ -296,3 +296,68 @@ def test_device_voxelize_train_step_matches_host(setup):
     _, md = step_dev(state_d, ex_pts)
     lh, ld = float(mh["loss"]), float(md["loss"])
     assert abs(lh - ld) < 1e-2 * max(1.0, abs(lh)), (lh, ld)
+
+
+def test_compact_quantized_examples_match_dense(setup):
+    """int16-quantized points + int8 labels + sparse positive targets
+    (the low-H2D train path) must reproduce the dense f32 example's
+    loss to ~1% (quantization moves points by <~1.1 mm, 50x below the
+    smallest voxel size)."""
+    from second_tpu.data.point_quant import quantize, ranges
+    from second_tpu.train.state import make_voxelizer_fn
+
+    cfg, parts, _ = setup
+    net, spec = parts["net"], parts["spec"]
+    gen = parts["voxel_generator"]
+    tx, _, _ = opt_builder.build(cfg.train_config.optimizer, total_step=100)
+
+    rng = np.random.RandomState(0)
+    scenes = [
+        make_scene(rng, num_objects=3, num_bg_points=2000,
+                   x_range=(0, 20.4), y_range=(-10, 10))
+        for _ in range(2)
+    ]
+    max_voxels = 4096
+    ex = assemble_example(parts, scenes, max_voxels=max_voxels)
+    ex = {k: jnp.asarray(v) for k, v in ex.items()}
+    variables = net.init(
+        jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+        ex["coordinates"])
+
+    N = 8192
+    lo, hi = ranges(gen.point_cloud_range, 4)
+    pts_q = np.zeros((2, N, 4), np.int16)
+    cnt = np.zeros((2, 1), np.int32)
+    for i, (points, _, _) in enumerate(scenes):
+        n = min(len(points), N)
+        pts_q[i, :n] = quantize(points[:n], lo, hi)
+        cnt[i, 0] = n
+    labels = np.asarray(ex["labels"])
+    code = spec.box_code_size
+    a = labels.shape[1]
+    pos_idx = np.full((2, 64), a, np.int32)
+    pos_tgt = np.zeros((2, 64, code), np.float32)
+    pos_cnt = np.zeros((2, 1), np.int32)
+    for b in range(2):
+        (pos,) = np.nonzero(labels[b] > 0)
+        pos_idx[b, :len(pos)] = pos
+        pos_tgt[b, :len(pos)] = np.asarray(ex["reg_targets"])[b, pos]
+        pos_cnt[b, 0] = len(pos)
+    ex_c = {
+        "points_q": jnp.asarray(pts_q),
+        "points_count": jnp.asarray(cnt),
+        "labels_i8": jnp.asarray(labels.astype(np.int8)),
+        "pos_idx": jnp.asarray(pos_idx),
+        "pos_targets": jnp.asarray(pos_tgt),
+        "pos_count": jnp.asarray(pos_cnt),
+        "anchors": ex["anchors"],
+    }
+
+    voxelizer = make_voxelizer_fn(gen, max_voxels=max_voxels)
+    step_dense = make_train_step(net, spec, tx)
+    step_compact = make_train_step(net, spec, tx, voxelizer=voxelizer)
+    variables2 = jax.tree_util.tree_map(jnp.array, variables)
+    _, md = step_dense(TrainState.create(variables, tx), dict(ex))
+    _, mc = step_compact(TrainState.create(variables2, tx), ex_c)
+    ld, lc = float(md["loss"]), float(mc["loss"])
+    assert abs(ld - lc) < 1e-2 * max(1.0, abs(ld)), (ld, lc)

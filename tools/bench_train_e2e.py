@@ -114,8 +114,10 @@ def main():
         voxel_generator=parts["voxel_generator"],
         target_assigner=parts["target_assigner"],
         anchor_cache=parts["anchor_cache"],
-        device_voxelize=device_voxelize)
-    print(f"device_voxelize={device_voxelize}")
+        device_voxelize=device_voxelize,
+        quantize_points=device_voxelize)
+    print(f"device_voxelize={device_voxelize} "
+          f"(int16 points + compact targets)")
 
     batch = args.batch or cfg.train_input_reader.batch_size
     print(f"config={cfg_path} batch={batch} workers={args.workers} "
