@@ -24,7 +24,8 @@ def build(input_reader_config: schema.InputReader,
           anchor_cache=None,
           device_voxelize=False,
           quantize_points=False,
-          compact_targets=None):
+          compact_targets=None,
+          banded_plans=False):
     """device_voxelize: ship the augmented point cloud instead of the
     padded voxel buffer; the jitted step voxelizes on device (PP-family
     only — ignored when the sparse middle's host planner is active).
@@ -112,6 +113,7 @@ def build(input_reader_config: schema.InputReader,
         sample_importance=prep_cfg.sample_importance,
         anchor_cache=anchor_cache,
         sparse_plan_scales=sparse_plan_scales,
+        sparse_plan_banded=banded_plans and sparse_plan_scales is not None,
         emit_points=(
             POINTS_BUFFER
             if device_voxelize and sparse_plan_scales is None else 0),

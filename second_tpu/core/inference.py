@@ -25,30 +25,50 @@ class InferenceContext:
         self._state = None
         self._eval_step = None
 
-    def build(self, config_path_or_config):
+    def build(self, config_path_or_config, use_banded="auto"):
+        """use_banded: "auto" = banded MXU-gather sparse-conv kernels
+        + host rulebook planning for sparse middles on TPU (the
+        production inference path; exact-parity alternative to the
+        all-device rulebook build)."""
         if isinstance(config_path_or_config, str):
             self.config = load_pipeline_config(config_path_or_config)
         else:
             self.config = config_path_or_config
-        self.parts = build_network(self.config)
+        if use_banded == "auto":
+            from ..train.__main__ import _auto_banded
+
+            use_banded = _auto_banded(self.config)
+        self.parts = build_network(self.config, use_banded=use_banded)
         input_cfg = self.config.eval_input_reader
         model_cfg = self.parts["model_cfg"]
         from functools import partial
 
         from ..utils.config_tool import get_downsample_factor
 
+        max_voxels = input_cfg.preprocess.max_number_of_voxels or 20000
+        sparse_scales = None
+        mid_name = model_cfg.middle_feature_extractor.module_class_name
+        from ..models.sparse_middle import SPARSE_MIDDLE_NAMES
+
+        if mid_name in SPARSE_MIDDLE_NAMES:
+            from ..models.sparse_middle import plan_scales
+
+            sparse_scales = plan_scales(
+                mid_name, self.parts["dense_shape"], max_voxels)
         self.prep_func = partial(
             prep_pointcloud,
             root_path="",
             voxel_generator=self.parts["voxel_generator"],
             target_assigner=self.parts["target_assigner"],
             training=False,
-            max_voxels=input_cfg.preprocess.max_number_of_voxels or 20000,
+            max_voxels=max_voxels,
             shuffle_points=False,
             anchor_area_threshold=input_cfg.preprocess.anchor_area_threshold,
             anchor_cache=self.parts["anchor_cache"],
             out_size_factor=get_downsample_factor(model_cfg),
             num_point_features=model_cfg.num_point_features,
+            sparse_plan_scales=sparse_scales,
+            sparse_plan_banded=use_banded,
         )
 
     def get_inference_input_dict(self, info, points):

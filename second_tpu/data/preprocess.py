@@ -58,6 +58,7 @@ def prep_pointcloud(input_dict,
                     random_flip_y=True,
                     sample_importance=1.0,
                     sparse_plan_scales=None,
+                    sparse_plan_banded=False,
                     emit_points=0,
                     quantize_points=False,
                     compact_targets=False,
@@ -255,7 +256,8 @@ def prep_pointcloud(input_dict,
         from ..models.sparse_middle import build_host_plan
 
         plan, counts = build_host_plan(
-            coordinates, sparse_plan_scales, return_counts=True)
+            coordinates, sparse_plan_scales, return_counts=True,
+            banded=sparse_plan_banded)
         example.update(plan)
         # per-downsample-stage (true_active, capacity) — spconv never
         # drops voxels (middle.py:199-209); the train loop surfaces

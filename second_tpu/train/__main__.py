@@ -61,10 +61,21 @@ def example_convert(example, dtype=np.float32):
     return out
 
 
-def _build_all(config_path, training_loader=True):
+def _build_all(config_path, training_loader=True, use_banded=False):
     cfg = load_pipeline_config(config_path)
-    parts = build_network(cfg)
+    parts = build_network(cfg, use_banded=use_banded)
     return cfg, parts
+
+
+def _auto_banded(cfg):
+    """Banded MXU-gather inference kernels: on for sparse middles on a
+    real TPU backend (the Pallas interpret fallback is for tests)."""
+    import jax
+
+    from ..models.sparse_middle import SPARSE_MIDDLE_NAMES
+
+    mid = cfg.model.second.middle_feature_extractor.module_class_name
+    return jax.default_backend() == "tpu" and mid in SPARSE_MIDDLE_NAMES
 
 
 def _restore_or_init(model_dir, net, tx, example, resume,
@@ -415,20 +426,28 @@ def evaluate(config_path,
              ckpt_path=None,
              measure_time=False,
              batch_size=None,
-             num_workers=None):
-    """Evaluate the latest (or given) checkpoint with the official AP."""
+             num_workers=None,
+             use_banded="auto"):
+    """Evaluate the latest (or given) checkpoint with the official AP.
+
+    use_banded: "auto" enables the banded MXU-gather sparse-conv
+    kernels (ops.banded_sparse) for sparse middles on TPU; loader
+    workers then also emit the banded plans."""
     import jax
 
     from ..parallel import make_mesh
 
     model_dir = Path(model_dir)
-    cfg, parts = _build_all(config_path)
+    if use_banded == "auto":
+        use_banded = _auto_banded(load_pipeline_config(config_path))
+    cfg, parts = _build_all(config_path, use_banded=use_banded)
     net, spec = parts["net"], parts["spec"]
     eval_dataset = dataset_builder.build(
         cfg.eval_input_reader, parts["model_cfg"], training=False,
         voxel_generator=parts["voxel_generator"],
         target_assigner=parts["target_assigner"],
-        anchor_cache=parts["anchor_cache"])
+        anchor_cache=parts["anchor_cache"],
+        banded_plans=use_banded)
     batch_size = batch_size or cfg.eval_input_reader.batch_size
     num_workers = (
         num_workers
