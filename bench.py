@@ -46,21 +46,21 @@ def bench_pointpillars():
 
     from second_tpu.builders import build_network
     from second_tpu.data.synthetic import make_kitti_scene
+    from second_tpu.models import pp_fast
     from second_tpu.models.voxelnet import predict
-    from second_tpu.ops.voxelize import voxelize
     from second_tpu.utils.config_tool import read_config
 
     cfg = read_config(
         "/root/reference/second/configs/pointpillars/car/xyres_16.config")
     parts = build_network(cfg.model.second)
     net, spec, gen = parts["net"], parts["spec"], parts["voxel_generator"]
+    model_cfg = parts["model_cfg"]
     anchors = parts["anchor_cache"]["anchors"].astype(np.float32)
 
     N_POINTS = 32768  # KITTI velodyne_reduced clouds are ~18k points
     MAX_VOXELS = 12000
     BATCH = 2  # measured throughput peak on one chip
-    T = gen.max_num_points_per_voxel
-    grid = tuple(int(v) for v in gen.grid_size)
+    T = int(gen.max_num_points_per_voxel)
 
     rng = np.random.RandomState(0)
     points, _, _ = make_kitti_scene(rng)
@@ -77,28 +77,23 @@ def bench_pointpillars():
     anchors_b = jnp.asarray(
         np.broadcast_to(anchors[None], (BATCH,) + anchors.shape))
 
+    # flat-point pillar path (models/pp_fast.py): no [V, T, F] buffer,
+    # pointwise PFN + segment-max; parity-tested vs the module path
     @jax.jit
     def e2e(variables, points_buf, num_points):
-        def vox(p):
-            return voxelize(
-                p, num_points,
-                tuple(gen.voxel_size.tolist()),
-                tuple(gen.point_cloud_range[:3].tolist()),
-                grid_size=grid,
-                max_voxels=MAX_VOXELS,
-                max_points_per_voxel=T,
-            )
-        voxels, coords, counts, _ = jax.vmap(vox)(points_buf)
-        preds = net.apply(variables, voxels, counts, coords)
-        return predict(spec, preds, {"anchors": anchors_b})
+        return pp_fast.pointpillars_infer(
+            variables, net, spec, predict, anchors_b,
+            points_buf, num_points,
+            gen=gen, model_cfg=model_cfg, max_voxels=MAX_VOXELS)
 
     pts_j = jnp.asarray(np.broadcast_to(buf[None], (BATCH,) + buf.shape))
-    dets = e2e(variables, pts_j, n)
+    ns = jnp.full((BATCH,), n, jnp.int32)
+    dets = e2e(variables, pts_j, ns)
     _ = _sync(dets["scores"])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        dets = e2e(variables, pts_j, n)
+        dets = e2e(variables, pts_j, ns)
     _ = _sync(dets["scores"])
     dt = (time.perf_counter() - t0) / ITERS
     return BATCH / dt

@@ -96,13 +96,32 @@ def voxelize(points,
     voxels = voxels.at[vr, sl].set(
         jnp.where(write_ok[:, None], pts_s, 0.0), mode="drop"
     )
+    # coords/counts have ONE writer per voxel (the group-start point):
+    # duplicate-index scatters serialize on TPU (~8 cycles/conflicting
+    # row), so write them from start points only.  The group length is
+    # next_group_start - group_start via a reverse min-scan.
+    start_ok = new_voxel & (vrank < max_voxels)
+    vr1 = jnp.where(start_ok, vrank, max_voxels)
     coords_zyx = coords_s[:, ::-1]
     coords_out = jnp.full((max_voxels + 1, 3), -1, dtype=jnp.int32)
-    coords_out = coords_out.at[vr].set(
-        jnp.where(write_ok[:, None], coords_zyx, -1), mode="drop"
+    coords_out = coords_out.at[vr1].set(
+        jnp.where(start_ok[:, None], coords_zyx, -1),
+        mode="drop", unique_indices=True,
     )
+    starts = jnp.where(new_voxel, idx, n)
+    next_start = jnp.concatenate([
+        jax.lax.associative_scan(jnp.minimum, starts, reverse=True)[1:],
+        jnp.full((1,), n, starts.dtype)])
+    # valid points sort first; the last group must not absorb the
+    # invalid/padding tail
+    n_valid = jnp.sum(valid_s)
+    group_len = jnp.minimum(
+        jnp.minimum(next_start, n_valid) - idx, t).astype(jnp.int32)
     counts = jnp.zeros((max_voxels + 1,), dtype=jnp.int32)
-    counts = counts.at[vr].add(write_ok.astype(jnp.int32), mode="drop")
+    counts = counts.at[vr1].set(
+        jnp.where(start_ok, group_len, 0),
+        mode="drop", unique_indices=True,
+    )
 
     voxels, coords_out, counts = voxels[:-1], coords_out[:-1], counts[:-1]
 

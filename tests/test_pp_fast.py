@@ -1,0 +1,123 @@
+"""Parity: flat-point PointPillars inference path (models/pp_fast.py)
+vs the module path (voxelize -> PillarFeatureNet -> scatter)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from second_tpu.builders import build_network
+from second_tpu.data.synthetic import make_scene
+from second_tpu.models import pp_fast
+from second_tpu.models.voxelnet import predict
+from second_tpu.ops.voxelize import voxelize
+from second_tpu.utils.config_tool import change_detection_range, read_config
+
+XYRES16 = "/root/reference/second/configs/pointpillars/car/xyres_16.config"
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(XYRES16), reason="reference configs absent"
+)
+
+
+def test_flat_pillar_bev_matches_module():
+    cfg = read_config(XYRES16)
+    change_detection_range(cfg.model.second, [0.0, -10.24, 20.48, 10.24])
+    parts = build_network(cfg.model.second)
+    net, spec, gen = parts["net"], parts["spec"], parts["voxel_generator"]
+    model_cfg = parts["model_cfg"]
+    grid = tuple(int(x) for x in gen.grid_size)
+    vs = tuple(float(x) for x in gen.voxel_size)
+    rmin = tuple(float(x) for x in gen.point_cloud_range[:3])
+    MAXV, N = 2000, 8192
+    T = int(gen.max_num_points_per_voxel)
+
+    rng = np.random.RandomState(0)
+    points, _, _ = make_scene(rng, num_objects=3, num_bg_points=3000,
+                              x_range=(0, 20.4), y_range=(-10, 10))
+    buf = np.zeros((N, 4), np.float32)
+    n = min(len(points), N)
+    buf[:n] = points[:n]
+    pts = jnp.asarray(buf)
+
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, MAXV, T, 4), np.float32),
+        np.zeros((1, MAXV), np.int32),
+        np.full((1, MAXV, 3), -1, np.int32))
+
+    # module path
+    voxels, coords, counts, _ = voxelize(
+        pts, n, vs, rmin, grid_size=grid, max_voxels=MAXV,
+        max_points_per_voxel=T)
+    vfeats = net.apply(
+        variables, voxels[None], counts[None], coords[None],
+        method=lambda m, a, b, c: m.voxel_feature_extractor(a, b, c))
+    bev_mod = net.apply(
+        variables, vfeats, coords[None],
+        method=lambda m, f, c: m.middle_feature_extractor(f, c))
+
+    # flat path
+    pts_s, cpt, vr, pcoords, cnts, _ = pp_fast.flat_pillarize(
+        pts, n, vs, rmin, grid_size=grid, max_voxels=MAXV)
+    bev_flat = pp_fast.flat_pfn_bev(
+        variables, pts_s, cpt, vr, pcoords, cnts,
+        num_filters=tuple(
+            int(x) for x in model_cfg.voxel_feature_extractor.num_filters),
+        max_points_per_voxel=T, voxel_size=vs,
+        pc_range=tuple(gen.point_cloud_range), grid_size=grid,
+        num_input_features=4)
+
+    np.testing.assert_allclose(
+        np.asarray(bev_flat), np.asarray(bev_mod)[0], atol=2e-4, rtol=2e-4)
+
+
+def test_flat_e2e_detections_match():
+    cfg = read_config(XYRES16)
+    change_detection_range(cfg.model.second, [0.0, -10.24, 20.48, 10.24])
+    parts = build_network(cfg.model.second)
+    net, spec, gen = parts["net"], parts["spec"], parts["voxel_generator"]
+    model_cfg = parts["model_cfg"]
+    anchors = parts["anchor_cache"]["anchors"].astype(np.float32)
+    grid = tuple(int(x) for x in gen.grid_size)
+    vs = tuple(float(x) for x in gen.voxel_size)
+    rmin = tuple(float(x) for x in gen.point_cloud_range[:3])
+    MAXV, N, B = 2000, 8192, 2
+    T = int(gen.max_num_points_per_voxel)
+
+    rng = np.random.RandomState(1)
+    bufs = np.zeros((B, N, 4), np.float32)
+    ns = np.zeros((B,), np.int32)
+    for b in range(B):
+        points, _, _ = make_scene(rng, num_objects=3, num_bg_points=3000,
+                                  x_range=(0, 20.4), y_range=(-10, 10))
+        n = min(len(points), N)
+        bufs[b, :n] = points[:n]
+        ns[b] = n
+
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, MAXV, T, 4), np.float32),
+        np.zeros((1, MAXV), np.int32),
+        np.full((1, MAXV, 3), -1, np.int32))
+    anchors_b = jnp.asarray(
+        np.broadcast_to(anchors[None], (B,) + anchors.shape))
+
+    # module path e2e
+    def vox(p, n):
+        return voxelize(p, n, vs, rmin, grid_size=grid, max_voxels=MAXV,
+                        max_points_per_voxel=T)
+    voxels, coords, counts, _ = jax.vmap(vox)(jnp.asarray(bufs),
+                                              jnp.asarray(ns))
+    preds = net.apply(variables, voxels, counts, coords)
+    dets_mod = predict(spec, preds, {"anchors": anchors_b})
+
+    dets_flat = pp_fast.pointpillars_infer(
+        variables, net, spec, predict, anchors_b,
+        jnp.asarray(bufs), jnp.asarray(ns),
+        gen=gen, model_cfg=model_cfg, max_voxels=MAXV)
+
+    for k in ("box3d_lidar", "scores", "label_preds", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(dets_flat[k]), np.asarray(dets_mod[k]),
+            atol=1e-3, rtol=1e-3)
