@@ -63,8 +63,15 @@ def flat_pillarize(points, num_points, voxel_size, range_min, grid_size,
     order = jnp.argsort(lin, stable=True)
     lin_s = lin[order]
     pts_s = points[order]
-    coords_s = coords[order]
-    valid_s = valid[order]
+    # coords/validity need no extra row-gathers: validity is encoded in
+    # the sort key (invalid -> sentinel) and coords are a deterministic
+    # elementwise function of the points
+    valid_s = lin_s < sentinel
+    coords_s = jnp.where(
+        valid_s[:, None],
+        jnp.floor((pts_s[:, :3] - jnp.asarray(range_min))
+                  / jnp.asarray(voxel_size)).astype(jnp.int32),
+        -1)
 
     new_voxel = jnp.concatenate(
         [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]]

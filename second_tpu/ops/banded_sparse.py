@@ -46,7 +46,9 @@ import jax.numpy as jnp
 import numpy as np
 
 M = 128          # output rows per tile
-BLK = 512        # feature-table block; window = 2 consecutive blocks
+BLK = 256        # feature-table block size
+WIN_BLOCKS = 4   # max window = 4 blocks (1024 rows); "narrow" pairs
+                 # (~95%, spans <= 256) touch only the first 2
 KX_PAD = 8       # sublane padding for the per-triple rel array
 
 
@@ -82,8 +84,8 @@ def _grouping(K, kx):
 
 
 def table_pad(v):
-    """Padded feature-table length: room for the b+1 window block."""
-    return (-(-v // BLK) + 1) * BLK
+    """Padded feature-table length: room for the b0+3 window block."""
+    return (-(-v // BLK) + WIN_BLOCKS - 1) * BLK
 
 
 def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
@@ -107,15 +109,18 @@ def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
     valid = s < 2 ** 30
     gmin = s.min(axis=(2, 4))                      # [B, T, G]
     gmax = jnp.where(valid, s, -1).max(axis=(2, 4))
-    b0 = jnp.clip(gmin // BLK, 0, vp // BLK - 2)
-    in_win = s < (b0[:, :, None, :, None] + 2) * BLK
+    b0 = jnp.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)
+    in_win = s < (b0[:, :, None, :, None] + WIN_BLOCKS) * BLK
     rel = jnp.where(valid & in_win,
                     s - b0[:, :, None, :, None] * BLK, -1)
-    hit = (gmax >= 0) & (rel >= 0).any(axis=(2, 4))  # any in-window hit
+    any_hit = (gmax >= 0) & (rel >= 0).any(axis=(2, 4))
+    # hit class: 1 = narrow (first 2 blocks suffice), 2 = wide
+    narrow = rel.max(axis=(2, 4)) < 2 * BLK
+    hit = jnp.where(any_hit, jnp.where(narrow, 1, 2), 0)
 
     # fill miss pairs' block index with the previous hit pair's (the
     # Pallas pipeline skips the DMA when the index repeats)
-    hit_f = hit.reshape(-1)
+    hit_f = hit.reshape(-1) > 0
     b0_f = b0.reshape(-1)
     idx = jnp.where(hit_f, jnp.arange(hit_f.shape[0]), -1)
     last = jax.lax.associative_scan(jnp.maximum, idx)
@@ -166,7 +171,7 @@ def _make_kernel(kx, c, cout, out_dtype):
     from jax.experimental import pallas as pl
 
     def kernel(bidx_ref, hit_ref, rel_ref, w_ref, win0_ref, win1_ref,
-               out_ref, acc_ref):
+               win2_ref, win3_ref, out_ref, acc_ref):
         t = pl.program_id(0)
         gi = pl.program_id(1)
         ng = pl.num_programs(1)
@@ -175,25 +180,32 @@ def _make_kernel(kx, c, cout, out_dtype):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(hit_ref[t, gi] == 1)
-        def _():
-            w0 = win0_ref[:]
-            w1 = win1_ref[:]
+        def contrib(wins):
             iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, M), 0)
             dn = (((0,), (0,)), ((), ()))
             parts = []
             for x in range(kx):
                 relx = rel_ref[0, 0, x, :]           # [M] lanes
-                oh0 = (relx[None, :] == iota).astype(w0.dtype)
-                oh1 = (relx[None, :] - BLK == iota).astype(w0.dtype)
-                gx = (jax.lax.dot_general(
-                        oh0, w0, dn, preferred_element_type=jnp.float32)
-                      + jax.lax.dot_general(
-                        oh1, w1, dn, preferred_element_type=jnp.float32))
-                parts.append(gx.astype(w0.dtype))
+                gx = None
+                for j, wj in enumerate(wins):
+                    ohj = (relx[None, :] - j * BLK == iota).astype(
+                        wj.dtype)
+                    d = jax.lax.dot_general(
+                        ohj, wj, dn, preferred_element_type=jnp.float32)
+                    gx = d if gx is None else gx + d
+                parts.append(gx.astype(wins[0].dtype))
             g3 = jnp.concatenate(parts, axis=1)      # [M, kx*C]
             acc_ref[:] += jax.lax.dot(
                 g3, w_ref[0], preferred_element_type=jnp.float32)
+
+        # ~95% of hit pairs span <= 256 rows: two 256-blocks suffice
+        @pl.when(hit_ref[t, gi] == 1)
+        def _():
+            contrib([win0_ref[:], win1_ref[:]])
+
+        @pl.when(hit_ref[t, gi] == 2)
+        def _():
+            contrib([win0_ref[:], win1_ref[:], win2_ref[:], win3_ref[:]])
 
         @pl.when(gi == ng - 1)
         def _():
@@ -230,6 +242,12 @@ def _banded_call(table, bidx, hit, rel, wg, kx, g, t,
             pl.BlockSpec((BLK, c),
                          lambda ti, gi, bi, hi: (bi[ti, gi] + 1, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, c),
+                         lambda ti, gi, bi, hi: (bi[ti, gi] + 2, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, c),
+                         lambda ti, gi, bi, hi: (bi[ti, gi] + 3, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, cout),
                                lambda ti, gi, bi, hi: (ti, 0),
@@ -243,7 +261,7 @@ def _banded_call(table, bidx, hit, rel, wg, kx, g, t,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(bidx, hit, rel, wg, table, table)
+    )(bidx, hit, rel, wg, table, table, table, table)
 
 
 def banded_conv(features, plan: BandedPlan, weights, bias=None,
@@ -335,14 +353,16 @@ def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
     valid = sk < big
     gmin = sk.min(axis=(2, 3))                      # [T, G]
     gmax = np.where(valid, sk, -1).max(axis=(2, 3))
-    b0 = np.clip(gmin // BLK, 0, vp // BLK - 2)
-    lim = ((b0 + 2) * BLK)[:, :, None, None]
+    b0 = np.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)
+    lim = ((b0 + WIN_BLOCKS) * BLK)[:, :, None, None]
     base = (b0 * BLK)[:, :, None, None]
     in_win = sk < lim
     rel = np.where(valid & in_win, sk - base, -1)   # [T, G, KX, M]
-    hit = (gmax >= 0) & (rel >= 0).any(axis=(2, 3))
+    any_hit = (gmax >= 0) & (rel >= 0).any(axis=(2, 3))
+    narrow = rel.max(axis=(2, 3)) < 2 * BLK
+    hit = np.where(any_hit, np.where(narrow, 1, 2), 0)
 
-    hit_f = hit.reshape(-1)
+    hit_f = hit.reshape(-1) > 0
     b0_f = b0.reshape(-1)
     idx = np.where(hit_f, np.arange(hit_f.size), -1)
     last = np.maximum.accumulate(idx)
