@@ -264,6 +264,100 @@ def _banded_call(table, bidx, hit, rel, wg, kx, g, t,
     )(bidx, hit, rel, wg, table, table, table, table)
 
 
+def _make_fused_kernel(kx, g, c, cout, out_dtype):
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        bidx_ref, hit_ref, rel_ref, w_ref = refs[:4]
+        win_refs = refs[4:4 + g * WIN_BLOCKS]
+        out_ref, acc_ref = refs[4 + g * WIN_BLOCKS:]
+        t = pl.program_id(0)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, M), 0)
+        dn = (((0,), (0,)), ((), ()))
+
+        for gi in range(g):
+            wins4 = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
+
+            def contrib(nblk, gi=gi, wins4=wins4):
+                parts = []
+                for x in range(kx):
+                    relx = rel_ref[0, gi, x, :]      # [M] lanes
+                    gx = None
+                    for j in range(nblk):
+                        wj = wins4[j][:]
+                        ohj = (relx[None, :] - j * BLK == iota).astype(
+                            wj.dtype)
+                        d = jax.lax.dot_general(
+                            ohj, wj, dn,
+                            preferred_element_type=jnp.float32)
+                        gx = d if gx is None else gx + d
+                    parts.append(gx.astype(wins4[0].dtype))
+                g3 = jnp.concatenate(parts, axis=1)
+                acc_ref[:] += jax.lax.dot(
+                    g3, w_ref[gi], preferred_element_type=jnp.float32)
+
+            @pl.when(hit_ref[t, gi] == 1)
+            def _(contrib=contrib):
+                contrib(2)
+
+            @pl.when(hit_ref[t, gi] == 2)
+            def _(contrib=contrib):
+                contrib(WIN_BLOCKS)
+
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kx", "g", "t", "interpret", "out_dtype"))
+def _banded_call_fused(table, bidx, hit, rel, wg, kx, g, t,
+                       out_dtype, interpret=False):
+    """Fused-tile variant: grid (B*T,) with all offset-triples of a
+    tile handled in ONE grid step (the (tile, triple) grid pays ~0.3 us
+    of Mosaic step overhead per pair — ~12 ms/frame across the car.fhd
+    middle's ~40k pairs)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, c = table.shape
+    cout = wg.shape[-1]
+    bt = rel.shape[0]
+
+    def win_spec(gi, j):
+        return pl.BlockSpec(
+            (BLK, c), lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi] + j, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # bidx, hit
+        grid=(bt,),
+        in_specs=[
+            pl.BlockSpec((1, g, KX_PAD, M),
+                         lambda ti, bi, hi: (ti, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, kx * c, cout),
+                         lambda ti, bi, hi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [win_spec(gi, j) for gi in range(g)
+             for j in range(WIN_BLOCKS)],
+        out_specs=pl.BlockSpec((M, cout),
+                               lambda ti, bi, hi: (ti, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((M, cout), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _make_fused_kernel(kx, g, c, cout, out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bt * M, cout), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(bidx, hit, rel, wg, *([table] * (g * WIN_BLOCKS)))
+
+
 def banded_conv(features, plan: BandedPlan, weights, bias=None,
                 interpret=None):
     """features [B, Vin, C] (rows sorted by linear id, padding rows
@@ -281,7 +375,7 @@ def banded_conv(features, plan: BandedPlan, weights, bias=None,
 
     table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
     wg = weights.astype(dtype).reshape(g, kx * c, cout)
-    out = _banded_call(
+    out = _banded_call_fused(
         table.reshape(b * vp, c), plan.bidx, plan.hit, plan.rel, wg,
         kx=kx, g=g, t=t, out_dtype=dtype, interpret=interpret)
     out = out.reshape(b, t * M, cout)[:, :vout]
