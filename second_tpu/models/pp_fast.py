@@ -211,11 +211,13 @@ def flat_pfn_bev(variables, pts_s, coords_pt, vrank, pillar_coords,
 
 def pointpillars_infer(variables, net, spec, predict_fn, anchors_b,
                        points, num_points, *, gen, model_cfg,
-                       max_voxels):
+                       max_voxels, predict_example=None):
     """points [B, N, F] -> detections via the flat pillar path.
 
     gen: voxel generator; model_cfg: schema.VoxelNet (for the VFE
     class/filters); predict_fn: models.voxelnet.predict.
+    predict_example: extra fields for predict (anchors_mask, ...);
+    "anchors" is taken from anchors_b.
     """
     vfe_name = model_cfg.voxel_feature_extractor.module_class_name
     flags = dict(
@@ -256,4 +258,6 @@ def pointpillars_infer(variables, net, spec, predict_fn, anchors_b,
     if "dir_cls_preds" in preds:
         flat["dir_cls_preds"] = preds["dir_cls_preds"].reshape(
             b, -1, spec.num_direction_bins)
-    return predict_fn(spec, flat, {"anchors": anchors_b})
+    ex = dict(predict_example or {})
+    ex["anchors"] = anchors_b
+    return predict_fn(spec, flat, ex)

@@ -180,11 +180,21 @@ def train(config_path,
         anchor_cache=parts["anchor_cache"],
         device_voxelize=device_voxelize)
     voxelizer_fn = None
+    flat_pp = None
     if device_voxelize:
         from .state import make_voxelizer_fn
         voxelizer_fn = make_voxelizer_fn(
             parts["voxel_generator"],
             cfg.train_input_reader.preprocess.max_number_of_voxels)
+        vfe_name = (
+            parts["model_cfg"].voxel_feature_extractor.module_class_name)
+        if vfe_name.startswith("PillarFeatureNet"):
+            # eval via the flat pillar path (models/pp_fast.py)
+            flat_pp = dict(
+                gen=parts["voxel_generator"],
+                model_cfg=parts["model_cfg"],
+                max_voxels=(
+                    cfg.eval_input_reader.preprocess.max_number_of_voxels))
 
     batch_size = batch_size or cfg.train_input_reader.batch_size
     num_workers = (
@@ -337,7 +347,7 @@ def train(config_path,
                     res = _run_eval(
                         net, spec, state, eval_dataset, batch_size,
                         num_workers, mesh, Path(result_path) / f"step_{step}",
-                        voxelizer=voxelizer_fn)
+                        voxelizer=voxelizer_fn, flat_pp=flat_pp)
                     if res is not None:
                         for name, text in res["results"].items():
                             log.log_text(f"Evaluation {name}", step)
@@ -348,7 +358,7 @@ def train(config_path,
     ckpt_lib.save(model_dir, state, "voxelnet", step)
     res = _run_eval(net, spec, state, eval_dataset, batch_size, num_workers,
                     mesh, Path(result_path) / "final",
-                    voxelizer=voxelizer_fn)
+                    voxelizer=voxelizer_fn, flat_pp=flat_pp)
     if res is not None:
         for name, text in res["results"].items():
             log.log_text(f"Evaluation {name}", step)
@@ -358,7 +368,7 @@ def train(config_path,
 
 
 def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
-              result_dir, timer=None, voxelizer=None):
+              result_dir, timer=None, voxelizer=None, flat_pp=None):
     """Eval loop: fixed-shape batches, ragged detections, official AP."""
     import jax.numpy as jnp
 
@@ -366,7 +376,8 @@ def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
     from ..utils.timer import ModelTimer
 
     timer = timer or ModelTimer(enabled=False)
-    eval_step = make_eval_step(net, spec, mesh=mesh, voxelizer=voxelizer)
+    eval_step = make_eval_step(net, spec, mesh=mesh, voxelizer=voxelizer,
+                               flat_pp=flat_pp)
     loader = DataLoader(
         eval_dataset, batch_size, shuffle=False,
         num_workers=num_workers, drop_last=False)
@@ -442,12 +453,29 @@ def evaluate(config_path,
         use_banded = _auto_banded(load_pipeline_config(config_path))
     cfg, parts = _build_all(config_path, use_banded=use_banded)
     net, spec = parts["net"], parts["spec"]
+    from ..models.sparse_middle import SPARSE_MIDDLE_NAMES
+
+    vfe_name = parts["model_cfg"].voxel_feature_extractor.module_class_name
+    mid_name = (
+        parts["model_cfg"].middle_feature_extractor.module_class_name)
+    device_voxelize = (mid_name not in SPARSE_MIDDLE_NAMES
+                       and vfe_name.startswith("PillarFeatureNet"))
     eval_dataset = dataset_builder.build(
         cfg.eval_input_reader, parts["model_cfg"], training=False,
         voxel_generator=parts["voxel_generator"],
         target_assigner=parts["target_assigner"],
         anchor_cache=parts["anchor_cache"],
-        banded_plans=use_banded)
+        banded_plans=use_banded,
+        device_voxelize=device_voxelize)
+    voxelizer_fn = None
+    flat_pp = None
+    if device_voxelize:
+        from .state import make_voxelizer_fn
+
+        max_v = cfg.eval_input_reader.preprocess.max_number_of_voxels
+        voxelizer_fn = make_voxelizer_fn(parts["voxel_generator"], max_v)
+        flat_pp = dict(gen=parts["voxel_generator"],
+                       model_cfg=parts["model_cfg"], max_voxels=max_v)
     batch_size = batch_size or cfg.eval_input_reader.batch_size
     num_workers = (
         num_workers
@@ -458,13 +486,23 @@ def evaluate(config_path,
         batch_size = max(len(devices), batch_size - batch_size % len(devices))
     mesh = make_mesh(devices)
 
-    example = example_convert(eval_dataset[0])
-    example = {k: v[None] for k, v in example.items()}
     tx, _, _ = opt_builder.build(
         cfg.train_config.optimizer, cfg.train_config.steps)
-    variables = net.init(
-        jax.random.PRNGKey(0), example["voxels"], example["num_points"],
-        example["coordinates"])
+    if device_voxelize:
+        vv = cfg.eval_input_reader.preprocess.max_number_of_voxels
+        tt = parts["voxel_generator"].max_num_points_per_voxel
+        ff = parts["model_cfg"].num_point_features
+        variables = net.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, vv, tt, ff), np.float32),
+            np.zeros((1, vv), np.int32),
+            np.full((1, vv, 3), -1, np.int32))
+    else:
+        example = example_convert(eval_dataset[0])
+        example = {k: v[None] for k, v in example.items()}
+        variables = net.init(
+            jax.random.PRNGKey(0), example["voxels"],
+            example["num_points"], example["coordinates"])
     state = TrainState.create(variables, tx)
     if ckpt_path is not None:
         state = ckpt_lib.restore(ckpt_path, state)
@@ -480,7 +518,8 @@ def evaluate(config_path,
 
     timer = ModelTimer(enabled=measure_time)
     res = _run_eval(net, spec, state, eval_dataset, batch_size, num_workers,
-                    mesh, result_path, timer=timer)
+                    mesh, result_path, timer=timer,
+                    voxelizer=voxelizer_fn, flat_pp=flat_pp)
     if measure_time:
         print("avg_time_ms:", {
             k: round(v * 1000, 2)

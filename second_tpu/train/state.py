@@ -175,15 +175,42 @@ def make_train_step(net, spec, tx, mesh=None, voxelizer=None):
     )
 
 
-def make_eval_step(net, spec, mesh=None, voxelizer=None):
-    """Returns a jitted (state, example) -> fixed-size detections fn."""
+def make_eval_step(net, spec, mesh=None, voxelizer=None, flat_pp=None):
+    """Returns a jitted (state, example) -> fixed-size detections fn.
+
+    flat_pp: optional dict(gen=..., model_cfg=..., max_voxels=...) —
+    run PillarFeatureNet-family inference through the flat pillar path
+    (models/pp_fast.py: no [V, T, F] buffer) on point-shipping
+    examples; requires ``voxelizer`` examples ("points"/"points_q").
+    """
 
     def step(state, example):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        pts = example.get("points", example.get("points_q"))
+        if flat_pp is not None and pts is not None:
+            from ..models import pp_fast
+
+            if pts.dtype == jnp.int16:
+                from ..data.point_quant import ranges
+
+                gen = flat_pp["gen"]
+                lo, hi = ranges(
+                    tuple(float(v)
+                          for v in gen.point_cloud_range), pts.shape[-1])
+                pts = ((pts.astype(jnp.float32) + 32768.0) / 65535.0
+                       ) * (jnp.asarray(hi) - jnp.asarray(lo))                     + jnp.asarray(lo)
+            extra = {k: v for k, v in example.items()
+                     if k in ("anchors_mask",)}
+            return pp_fast.pointpillars_infer(
+                variables, net, spec, predict, example["anchors"],
+                pts, example["points_count"][:, 0],
+                gen=flat_pp["gen"], model_cfg=flat_pp["model_cfg"],
+                max_voxels=flat_pp["max_voxels"],
+                predict_example=extra)
         plan = {k: v for k, v in example.items()
                 if k.startswith("plan_")}
         voxels, num_points, coords = _network_inputs(example, voxelizer)
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
         preds = net.apply(
             variables,
             voxels,

@@ -121,3 +121,45 @@ def test_flat_e2e_detections_match():
         np.testing.assert_allclose(
             np.asarray(dets_flat[k]), np.asarray(dets_mod[k]),
             atol=1e-3, rtol=1e-3)
+
+
+def test_evaluate_cli_flat_path(tmp_path):
+    """evaluate() end-to-end on a mini KITTI tree: restores the
+    checkpoint train() wrote and runs the flat-pillar eval path
+    (device_voxelize eval examples + pp_fast)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from kitti_fixture import build_kitti_dir
+
+    from second_tpu.configs import schema
+    from second_tpu.data.kitti_dataset import create_kitti_info_file
+    from second_tpu.train.__main__ import evaluate, train
+    from second_tpu.utils.config_tool import change_detection_range
+
+    root = tmp_path / "kitti"
+    ids = build_kitti_dir(root, num_frames=8, seed=11)
+    create_kitti_info_file(
+        str(root), train_img_ids=ids, val_img_ids=ids, test_img_ids=[])
+    cfg = read_config(XYRES16)
+    change_detection_range(cfg.model.second, [0.0, -10.24, 20.48, 10.24])
+    for reader, tr in ((cfg.train_input_reader, True),
+                       (cfg.eval_input_reader, False)):
+        reader.dataset.kitti_root_path = str(root)
+        reader.dataset.kitti_info_path = str(
+            root / ("kitti_infos_train.pkl" if tr else
+                    "kitti_infos_val.pkl"))
+        reader.batch_size = 1
+        reader.preprocess.max_number_of_voxels = 2000
+        reader.preprocess.num_workers = 0
+        reader.preprocess.database_sampler = schema.Sampler.from_raw({})
+    cfg.train_config.steps = 2
+    cfg.train_config.steps_per_eval = 100
+    mod = tmp_path / "pp.config"
+    mod.write_text(cfg.to_text())
+    model_dir = tmp_path / "model"
+    train(str(mod), str(model_dir))
+    res_dir = tmp_path / "eval_out"
+    evaluate(str(mod), str(model_dir), result_path=str(res_dir))
+    assert (res_dir / "result.pkl").exists()
