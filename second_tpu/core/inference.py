@@ -70,6 +70,16 @@ class InferenceContext:
             sparse_plan_scales=sparse_scales,
             sparse_plan_banded=use_banded,
         )
+        # PillarFeatureNet-family inference runs the flat pillar path
+        # (models/pp_fast.py): ship the points, skip the [V, T, F]
+        # buffer; prep still computes anchors_mask from host voxels
+        self._flat_pp = None
+        vfe_name = model_cfg.voxel_feature_extractor.module_class_name
+        if (sparse_scales is None
+                and vfe_name.startswith("PillarFeatureNet")):
+            self._flat_pp = dict(
+                gen=self.parts["voxel_generator"],
+                model_cfg=model_cfg, max_voxels=max_voxels)
 
     def get_inference_input_dict(self, info, points):
         assert self.parts is not None, "call build first"
@@ -89,6 +99,19 @@ class InferenceContext:
             }
             input_dict["image"] = info.get("image")
         example = self.prep_func(input_dict=input_dict)
+        if self._flat_pp is not None:
+            from ..builders.dataset_builder import POINTS_BUFFER
+
+            pts = input_dict["lidar"]["points"]
+            buf = np.zeros(
+                (POINTS_BUFFER, pts.shape[1]), np.float32)
+            count = min(len(pts), POINTS_BUFFER)
+            buf[:count] = pts[:count]
+            example["points"] = buf
+            example["points_count"] = np.array([count], np.int32)
+            example.pop("voxels", None)
+            example.pop("num_points", None)
+            example.pop("coordinates", None)
         example["metadata"] = input_dict["metadata"]
         return merge_second_batch([example])
 
@@ -139,7 +162,8 @@ class InferenceContext:
         if self._eval_step is None:
             assert self._state is not None, "restore or init_random first"
             self._eval_step = make_eval_step(
-                self.parts["net"], self.parts["spec"])
+                self.parts["net"], self.parts["spec"],
+                flat_pp=self._flat_pp)
         from ..train.__main__ import example_convert
 
         ex = {k: jnp.asarray(v) for k, v in example_convert(example).items()}

@@ -73,22 +73,35 @@ def flat_pillarize(points, num_points, voxel_size, range_min, grid_size,
                   / jnp.asarray(voxel_size)).astype(jnp.int32),
         -1)
 
-    new_voxel = jnp.concatenate(
+    new_group = jnp.concatenate(
         [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]]
     ) & valid_s
+    idx = jnp.arange(n)
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_group, idx, 0))
+    # FCFS truncation parity with the host voxelizer (see
+    # ops/voxelize.py): on overflow keep the earliest-arriving pillars,
+    # not the lowest linear ids (which drops a contiguous region)
+    first_fi = order[group_start]
+    start_fi = jnp.where(new_group, order, n)
+    if max_voxels < n:
+        kth = jnp.sort(start_fi)[max_voxels - 1]
+    else:
+        kth = jnp.int32(n)
+    keep_pt = valid_s & (first_fi <= kth)
+    new_voxel = new_group & (start_fi <= kth)
     vrank = jnp.cumsum(new_voxel) - 1
     num_voxels = jnp.sum(new_voxel).astype(jnp.int32)
-    ok = valid_s & (vrank < max_voxels)
+    ok = keep_pt & (vrank < max_voxels)
     vr = jnp.where(ok, vrank, max_voxels).astype(jnp.int32)
 
-    idx = jnp.arange(n)
     start_ok = new_voxel & (vrank < max_voxels)
     vr1 = jnp.where(start_ok, vrank, max_voxels)
     pillar_coords = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
     pillar_coords = pillar_coords.at[vr1].set(
         jnp.where(start_ok[:, None], coords_s[:, ::-1], -1),
         mode="drop", unique_indices=True)
-    starts = jnp.where(new_voxel, idx, n)
+    starts = jnp.where(new_group, idx, n)
     next_start = jnp.concatenate([
         jax.lax.associative_scan(jnp.minimum, starts, reverse=True)[1:],
         jnp.full((1,), n, starts.dtype)])

@@ -12,8 +12,11 @@ Semantic parity with the host voxelizer / reference C++
 first-come-first-serve voxel order is approximated by stable-sorting on
 voxel id — voxel ordering differs (sorted by linear id instead of first
 occurrence) but the voxel SET, per-voxel point sets and in-voxel point
-order are identical; downstream consumers are order-invariant (scatter
-by coordinate).
+order are identical, INCLUDING at max_voxels overflow: truncation keeps
+the first-come voxels (by first-point arrival), exactly like the
+reference — truncating the sorted order instead would silently drop a
+spatially contiguous (low linear id) region.  Downstream consumers are
+voxel-order-invariant (scatter by coordinate).
 """
 
 import functools
@@ -76,19 +79,33 @@ def voxelize(points,
     coords_s = coords[order]
     valid_s = valid[order]
 
-    new_voxel = jnp.concatenate(
+    new_group = jnp.concatenate(
         [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]]
     ) & valid_s
-    vrank = jnp.cumsum(new_voxel) - 1  # [N], voxel index per point
-    # slot within voxel: distance to the group start
     idx = jnp.arange(n)
+    # group start position (monotonic -> max-scan is exact)
     group_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(new_voxel, idx, 0)
-    )
+        jnp.maximum, jnp.where(new_group, idx, 0))
     slot = idx - group_start
 
+    # FCFS truncation parity with the host C++ voxelizer: when the
+    # scene overflows max_voxels, keep the voxels whose FIRST point
+    # arrives earliest in the incoming point order (the reference's
+    # point_cloud_ops semantics).  Truncating by sorted linear id
+    # instead silently drops a spatially contiguous region.
+    orig_idx = order
+    first_fi = orig_idx[group_start]          # per point: own group's
+    start_fi = jnp.where(new_group, orig_idx, n)
+    if max_voxels < n:
+        kth = jnp.sort(start_fi)[max_voxels - 1]
+    else:
+        kth = jnp.int32(n)
+    keep_pt = valid_s & (first_fi <= kth)
+    new_voxel = new_group & (start_fi <= kth)
+    vrank = jnp.cumsum(new_voxel) - 1
+
     num_voxels = jnp.sum(new_voxel).astype(jnp.int32)
-    write_ok = valid_s & (vrank < max_voxels) & (slot < t)
+    write_ok = keep_pt & (vrank < max_voxels) & (slot < t)
     vr = jnp.where(write_ok, vrank, max_voxels)  # dump row
     sl = jnp.where(write_ok, slot, 0)
 
@@ -99,7 +116,8 @@ def voxelize(points,
     # coords/counts have ONE writer per voxel (the group-start point):
     # duplicate-index scatters serialize on TPU (~8 cycles/conflicting
     # row), so write them from start points only.  The group length is
-    # next_group_start - group_start via a reverse min-scan.
+    # next_group_start - group_start via a reverse min-scan over ALL
+    # group boundaries (truncation drops whole groups, not points).
     start_ok = new_voxel & (vrank < max_voxels)
     vr1 = jnp.where(start_ok, vrank, max_voxels)
     coords_zyx = coords_s[:, ::-1]
@@ -108,7 +126,7 @@ def voxelize(points,
         jnp.where(start_ok[:, None], coords_zyx, -1),
         mode="drop", unique_indices=True,
     )
-    starts = jnp.where(new_voxel, idx, n)
+    starts = jnp.where(new_group, idx, n)
     next_start = jnp.concatenate([
         jax.lax.associative_scan(jnp.minimum, starts, reverse=True)[1:],
         jnp.full((1,), n, starts.dtype)])

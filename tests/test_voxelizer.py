@@ -154,3 +154,83 @@ def test_device_voxelizer_matches_host(full_mean):
     for k in h:
         assert h[k][0] == d[k][0], k
         np.testing.assert_allclose(h[k][1], d[k][1], atol=1e-6)
+
+
+def test_overflow_truncation_matches_host_fcfs():
+    """At max_voxels overflow the device voxelizer must keep the SAME
+    voxels as the host FCFS kernel (reference point_cloud_ops
+    semantics).  Truncating the sorted-by-linear-id order instead
+    silently drops a spatially contiguous region — the regression that
+    produced spatially biased training scenes."""
+    import jax.numpy as jnp
+
+    from second_tpu.ops.voxelize import voxelize
+
+    gen = make_gen()
+    rng = np.random.RandomState(0)
+    # ~400 occupied cells >> max_voxels=100
+    pts = np.stack([
+        rng.uniform(0, 4, 2000),
+        rng.uniform(-2, 2, 2000),
+        rng.uniform(-1, 1, 2000),
+        rng.uniform(0, 1, 2000),
+    ], axis=1).astype(np.float32)
+
+    host = gen.generate(pts)
+    assert host["voxels"].shape[0] == 100  # overflowed
+
+    N = 2048
+    buf = np.zeros((N, 4), np.float32)
+    buf[:len(pts)] = pts
+    voxels, coords, counts, nvox = voxelize(
+        jnp.asarray(buf), len(pts),
+        tuple(VSIZE), tuple(PCR[:3]),
+        grid_size=tuple(int(v) for v in gen.grid_size),
+        max_voxels=100, max_points_per_voxel=5)
+    voxels, coords, counts = (np.asarray(voxels), np.asarray(coords),
+                              np.asarray(counts))
+    assert int(nvox) == 100
+    host_set = {tuple(c) for c in host["coordinates"]}
+    dev_set = {tuple(c) for c in coords[coords[:, 0] >= 0]}
+    assert host_set == dev_set
+    # per-voxel contents match too
+    host_map = {tuple(c): (host["num_points_per_voxel"][i],
+                           np.sort(host["voxels"][i].ravel()))
+                for i, c in enumerate(host["coordinates"])}
+    for i, c in enumerate(coords):
+        if c[0] < 0:
+            continue
+        hc, hv = host_map[tuple(c)]
+        assert counts[i] == hc, (c, counts[i], hc)
+        np.testing.assert_allclose(np.sort(voxels[i].ravel()), hv,
+                                   atol=1e-6)
+
+
+def test_flat_pillarize_overflow_matches_host():
+    """Same FCFS-overflow contract for the flat pillar path."""
+    import jax.numpy as jnp
+
+    from second_tpu.models.pp_fast import flat_pillarize
+
+    gen = VoxelGenerator([0.2, 0.2, 2.0], PCR, max_num_points=5,
+                         max_voxels=64)
+    rng = np.random.RandomState(1)
+    pts = np.stack([
+        rng.uniform(0, 4, 1500),
+        rng.uniform(-2, 2, 1500),
+        rng.uniform(-1, 1, 1500),
+        rng.uniform(0, 1, 1500),
+    ], axis=1).astype(np.float32)
+    host = gen.generate(pts)
+    assert host["voxels"].shape[0] == 64
+
+    N = 2048
+    buf = np.zeros((N, 4), np.float32)
+    buf[:len(pts)] = pts
+    _, _, _, pillar_coords, counts, nvox = flat_pillarize(
+        jnp.asarray(buf), len(pts), (0.2, 0.2, 2.0), tuple(PCR[:3]),
+        grid_size=tuple(int(v) for v in gen.grid_size), max_voxels=64)
+    pillar_coords = np.asarray(pillar_coords)
+    host_set = {tuple(c) for c in host["coordinates"]}
+    dev_set = {tuple(c) for c in pillar_coords[pillar_coords[:, 0] >= 0]}
+    assert host_set == dev_set
