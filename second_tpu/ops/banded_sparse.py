@@ -11,25 +11,28 @@ the gather ON the MXU:
     contract), so for each kernel offset the neighbor-slot array is
     monotonic: 128 consecutive outputs read from a narrow WINDOW of the
     feature table (p99 span < ~750 rows on KITTI-scale scenes).
-  * For each (tile of 128 outputs, x-triple of kernel offsets) the
-    kernel DMAs two 512-row blocks of the sorted feature table and
-    gathers via ``one_hot(rel_slot) @ window`` — a [512, 128]^T x
-    [512, C] MXU matmul — then applies the weights for the triple's
-    three offsets with a single [128, 3C] x [3C, Cout] matmul.
-  * Offsets are grouped in x-triples (dx = -1/0/+1 share a (dz, dy))
-    because their windows coincide; misses and absent offsets encode as
-    rel = -1, which one-hot-matches nothing and contributes zero.
-  * The ~1% of (tile, triple) pairs whose span exceeds the window
-    ("outliers", z/y-line discontinuities in the sort order) fall back
-    to a capacity-bounded CSR pass: gather the affected (out, in, k)
+  * Kernel grid: one step per tile of 128 output rows; all offset
+    triples (dx = -1/0/+1 share a (dz, dy) and hence a window) are
+    unrolled in-kernel.  Per hit triple the kernel reads 256-row
+    window blocks of the table (two for "narrow" pairs — ~95%, spans
+    <= 256 — four for "wide") and gathers via
+    ``one_hot(rel_slot) @ window`` MXU matmuls, then applies the
+    triple's weights with one [128, 3C] x [3C, Cout] matmul.  Misses
+    and absent offsets encode as rel = -1, which one-hot-matches
+    nothing and contributes zero.
+  * The ~1% of (tile, triple) pairs whose span exceeds the widest
+    window ("outliers", sort-order discontinuities) fall back to a
+    capacity-bounded CSR pass: gather the affected (out, in, k)
     entries row-wise, apply per-entry weights, scatter-add.  Overflow
     of the static correction capacity is counted, never silent.
 
-The banded plan (window starts, relative slots, hit flags, correction
-lists) is derived ON DEVICE from the same slot rulebooks the XLA path
-uses (host-planned via second_tpu.native, or device-built) — a few
-cheap elementwise/reduction passes — so no extra host->device traffic
-and no planner changes.  The plan depends only on the active set, so
+The banded plan (window block indices, relative slots, hit classes,
+correction lists) derives from the same slot rulebooks the XLA path
+uses.  In production the HOST planner builds it alongside the
+rulebooks (host_banded_arrays; the device build costs ~18 ms/rulebook
+in layout-hostile transposes) and ships it with the example; the
+on-device builder (build_banded_plan) remains for tests and the
+all-device path.  The plan depends only on the active set, so
 it is built once per scale and shared by every conv on that set
 (spconv ``indice_key`` semantics, reference
 second/pytorch/models/middle.py:146-190).
@@ -165,103 +168,6 @@ def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
         cor_count=cor_count,
         shape=(b, vout, k, kx, g, t, v_in, vp),
     )
-
-
-def _make_kernel(kx, c, cout, out_dtype):
-    from jax.experimental import pallas as pl
-
-    def kernel(bidx_ref, hit_ref, rel_ref, w_ref, win0_ref, win1_ref,
-               win2_ref, win3_ref, out_ref, acc_ref):
-        t = pl.program_id(0)
-        gi = pl.program_id(1)
-        ng = pl.num_programs(1)
-
-        @pl.when(gi == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        def contrib(wins):
-            iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, M), 0)
-            dn = (((0,), (0,)), ((), ()))
-            parts = []
-            for x in range(kx):
-                relx = rel_ref[0, 0, x, :]           # [M] lanes
-                gx = None
-                for j, wj in enumerate(wins):
-                    ohj = (relx[None, :] - j * BLK == iota).astype(
-                        wj.dtype)
-                    d = jax.lax.dot_general(
-                        ohj, wj, dn, preferred_element_type=jnp.float32)
-                    gx = d if gx is None else gx + d
-                parts.append(gx.astype(wins[0].dtype))
-            g3 = jnp.concatenate(parts, axis=1)      # [M, kx*C]
-            acc_ref[:] += jax.lax.dot(
-                g3, w_ref[0], preferred_element_type=jnp.float32)
-
-        # ~95% of hit pairs span <= 256 rows: two 256-blocks suffice
-        @pl.when(hit_ref[t, gi] == 1)
-        def _():
-            contrib([win0_ref[:], win1_ref[:]])
-
-        @pl.when(hit_ref[t, gi] == 2)
-        def _():
-            contrib([win0_ref[:], win1_ref[:], win2_ref[:], win3_ref[:]])
-
-        @pl.when(gi == ng - 1)
-        def _():
-            out_ref[:] = acc_ref[:].astype(out_dtype)
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("kx", "g", "t", "interpret", "out_dtype"))
-def _banded_call(table, bidx, hit, rel, wg, kx, g, t,
-                 out_dtype, interpret=False):
-    """table [B*Vp, C]; wg [G, kx*C, Cout] -> [B*T*M, Cout]."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    _, c = table.shape
-    cout = wg.shape[-1]
-    bt = rel.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,      # bidx, hit
-        grid=(bt, g),
-        in_specs=[
-            pl.BlockSpec((1, 1, KX_PAD, M),
-                         lambda ti, gi, bi, hi: (ti, gi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kx * c, cout),
-                         lambda ti, gi, bi, hi: (gi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, c),
-                         lambda ti, gi, bi, hi: (bi[ti, gi], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, c),
-                         lambda ti, gi, bi, hi: (bi[ti, gi] + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, c),
-                         lambda ti, gi, bi, hi: (bi[ti, gi] + 2, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, c),
-                         lambda ti, gi, bi, hi: (bi[ti, gi] + 3, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((M, cout),
-                               lambda ti, gi, bi, hi: (ti, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((M, cout), jnp.float32)],
-    )
-    return pl.pallas_call(
-        _make_kernel(kx, c, cout, out_dtype),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bt * M, cout), out_dtype),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-    )(bidx, hit, rel, wg, table, table, table, table)
 
 
 def _make_fused_kernel(kx, g, c, cout, out_dtype):
