@@ -35,7 +35,9 @@ def nms(dets, thresh, eps=1.0):
     nms_cpu.py:31-61).
     """
     dets = np.asarray(dets, np.float64)
-    order = np.argsort(-dets[:, 4], kind="stable")
+    # reference tie ordering: scores.argsort()[::-1] puts the LAST of
+    # equal scores first (nms_cpu.py:40)
+    order = np.argsort(dets[:, 4], kind="stable")[::-1]
     boxes = dets[order, :4]
     n = len(order)
     alive = np.ones(n, bool)
@@ -46,7 +48,8 @@ def nms(dets, thresh, eps=1.0):
         keep.append(int(order[i]))
         if i + 1 < n:
             iou = _iou_row(boxes[i], boxes[i + 1:], eps=eps)
-            alive[i + 1:] &= iou <= thresh
+            # reference suppresses on ovr >= thresh (nms_cpu.py:58)
+            alive[i + 1:] &= iou < thresh
     return keep
 
 

@@ -220,7 +220,24 @@ def prep_pointcloud(input_dict,
         assert sparse_plan_scales is None, (
             "emit_points is for device-voxelizing models; the sparse "
             "middle family needs host voxels for the rulebook planner")
+        # only in-range points compete for buffer slots (out-of-range
+        # ones are dropped by the device voxelizer anyway; raw KITTI
+        # scans ~120k pts and NuScenes multi-sweep clouds would
+        # otherwise crowd out most in-range points); relative order is
+        # preserved, so FCFS voxelization is unchanged
+        in_range = np.all(
+            (points[:, :3] >= pc_range[:3]) & (points[:, :3] < pc_range[3:]),
+            axis=1)
+        points = points[in_range]
         count = min(len(points), emit_points)
+        if len(points) > emit_points:
+            import warnings
+
+            warnings.warn(
+                f"emit_points buffer overflow: {len(points)} in-range "
+                f"points > capacity {emit_points}; "
+                f"{len(points) - emit_points} dropped (raise emit_points)",
+                stacklevel=2)
         if quantize_points:
             from .point_quant import quantize, ranges
 
@@ -321,6 +338,17 @@ def prep_pointcloud(input_dict,
             m = min(n_pos, pos_capacity)
             pos_idx[:m] = pos[:m]
             pos_tgt[:m] = reg_targets[pos[:m]]
+            if n_pos > pos_capacity:
+                # truncated positives would otherwise train toward
+                # zero box offsets — drop them from BOTH losses
+                import warnings
+
+                labels = labels.copy()
+                labels[pos[m:]] = -1  # "don't care" (cared mask excludes)
+                warnings.warn(
+                    f"compact_targets overflow: {n_pos} positive anchors "
+                    f"> pos_capacity {pos_capacity}; {n_pos - m} marked "
+                    "don't-care (raise pos_capacity)", stacklevel=2)
             example.update({
                 "labels_i8": labels.astype(np.int8),
                 "pos_idx": pos_idx,

@@ -13,10 +13,29 @@ from ..core import box_ops
 
 def make_scene(rng, num_objects=5, num_bg_points=8000,
                x_range=(0.0, 70.4), y_range=(-40.0, 40.0),
-               points_per_object=120, size_mean=(1.6, 3.9, 1.56)):
-    """Returns (points [N, 4], gt_boxes [M, 7], gt_names [M])."""
-    gx = rng.uniform(x_range[0] + 5, x_range[1] - 5, num_objects)
-    gy = rng.uniform(y_range[0] + 5, y_range[1] - 5, num_objects)
+               points_per_object=120, size_mean=(1.6, 3.9, 1.56),
+               min_gap=None):
+    """Returns (points [N, 4], gt_boxes [M, 7], gt_names [M]).
+
+    min_gap: if set, rejection-sample object centers so no two are
+    closer than this (meters) — physically-plausible non-overlapping
+    boxes, which NMS and the KITTI matcher both assume.
+    """
+    if min_gap is not None:
+        centers = []
+        for _ in range(num_objects):
+            for _ in range(200):
+                cx = rng.uniform(x_range[0] + 5, x_range[1] - 5)
+                cy = rng.uniform(y_range[0] + 5, y_range[1] - 5)
+                if all(np.hypot(cx - px, cy - py) >= min_gap
+                       for px, py in centers):
+                    break
+            centers.append((cx, cy))
+        gx = np.array([c[0] for c in centers])
+        gy = np.array([c[1] for c in centers])
+    else:
+        gx = rng.uniform(x_range[0] + 5, x_range[1] - 5, num_objects)
+        gy = rng.uniform(y_range[0] + 5, y_range[1] - 5, num_objects)
     gz = rng.uniform(-1.8, -1.4, num_objects)
     sizes = np.abs(rng.normal(size_mean, [0.1, 0.3, 0.1],
                               (num_objects, 3)))

@@ -35,9 +35,9 @@ import numpy as np
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_size", "max_voxels"))
+    static_argnames=("grid_size", "max_voxels", "max_points_per_voxel"))
 def flat_pillarize(points, num_points, voxel_size, range_min, grid_size,
-                   max_voxels):
+                   max_voxels, max_points_per_voxel=None):
     """Sort a padded point buffer by pillar id (no [V, T, F] buffer).
 
     Returns: pts_s [N, F] (sorted), coords_pt [N, 3] int32 xyz
@@ -93,6 +93,11 @@ def flat_pillarize(points, num_points, voxel_size, range_min, grid_size,
     vrank = jnp.cumsum(new_voxel) - 1
     num_voxels = jnp.sum(new_voxel).astype(jnp.int32)
     ok = keep_pt & (vrank < max_voxels)
+    if max_points_per_voxel is not None:
+        # FCFS slot cap: parity with the voxelizer's T-point truncation
+        # (ops/voxelize.py slot < t) — overfull pillars drop the
+        # latest-arriving points instead of feeding them all to the PFN
+        ok = ok & (idx - group_start < max_points_per_voxel)
     vr = jnp.where(ok, vrank, max_voxels).astype(jnp.int32)
 
     start_ok = new_voxel & (vrank < max_voxels)
@@ -107,6 +112,10 @@ def flat_pillarize(points, num_points, voxel_size, range_min, grid_size,
         jnp.full((1,), n, starts.dtype)])
     n_valid = jnp.sum(valid_s)
     group_len = (jnp.minimum(next_start, n_valid) - idx).astype(jnp.int32)
+    if max_points_per_voxel is not None:
+        # counts feed the cluster-mean denominator and the padded-slot
+        # check downstream; cap like voxelize.py caps num_points
+        group_len = jnp.minimum(group_len, max_points_per_voxel)
     counts = jnp.zeros((max_voxels + 1,), jnp.int32)
     counts = counts.at[vr1].set(
         jnp.where(start_ok, group_len, 0),
@@ -247,7 +256,8 @@ def pointpillars_infer(variables, net, spec, predict_fn, anchors_b,
 
     def one(p, np_):
         pts_s, cpt, vr, pcoords, counts, _ = flat_pillarize(
-            p, np_, vs, rmin, grid_size=grid, max_voxels=max_voxels)
+            p, np_, vs, rmin, grid_size=grid, max_voxels=max_voxels,
+            max_points_per_voxel=int(gen.max_num_points_per_voxel))
         return flat_pfn_bev(
             variables, pts_s, cpt, vr, pcoords, counts,
             num_filters=nf,

@@ -376,6 +376,14 @@ def _run_eval(net, spec, state, eval_dataset, batch_size, num_workers, mesh,
     from ..utils.timer import ModelTimer
 
     timer = timer or ModelTimer(enabled=False)
+    # use_moving_average: evaluate with the parameter EMA when the
+    # optimizer tracks one (reference train.py:433-481 restores the
+    # moving-average variables for eval)
+    from .optimizer import ema_params
+
+    ema = ema_params(state.opt_state)
+    if ema is not None:
+        state = state.replace(params=ema)
     eval_step = make_eval_step(net, spec, mesh=mesh, voxelizer=voxelizer,
                                flat_pp=flat_pp)
     loader = DataLoader(

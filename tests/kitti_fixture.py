@@ -45,14 +45,15 @@ def _write_png(path, h, w):
 
 def make_scene_lidar(rng, num_cars=4, num_bg_points=6000,
                      points_per_object=200,
-                     x_range=(5.0, 60.0), y_range=(-20.0, 20.0)):
+                     x_range=(5.0, 60.0), y_range=(-20.0, 20.0),
+                     min_gap=None):
     """lidar-frame scene with cars in front of the camera (x > 5)."""
     from second_tpu.data.synthetic import make_scene
 
     points, gt_boxes, names = make_scene(
         rng, num_objects=num_cars, num_bg_points=num_bg_points,
         x_range=x_range, y_range=y_range,
-        points_per_object=points_per_object)
+        points_per_object=points_per_object, min_gap=min_gap)
     return points, gt_boxes, names
 
 

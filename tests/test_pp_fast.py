@@ -72,6 +72,65 @@ def test_flat_pillar_bev_matches_module():
         np.asarray(bev_flat), np.asarray(bev_mod)[0], atol=2e-4, rtol=2e-4)
 
 
+def test_flat_pillar_overfull_matches_module():
+    """A pillar with > max_points_per_voxel points: the flat path must
+    apply the same FCFS T-point cap as the voxelizer (ADVICE r2: all
+    points of an overfull pillar used to feed the segment-max)."""
+    cfg = read_config(XYRES16)
+    change_detection_range(cfg.model.second, [0.0, -10.24, 20.48, 10.24])
+    parts = build_network(cfg.model.second)
+    net, gen = parts["net"], parts["voxel_generator"]
+    model_cfg = parts["model_cfg"]
+    grid = tuple(int(x) for x in gen.grid_size)
+    vs = tuple(float(x) for x in gen.voxel_size)
+    rmin = tuple(float(x) for x in gen.point_cloud_range[:3])
+    MAXV, N = 64, 512
+    T = int(gen.max_num_points_per_voxel)
+
+    rng = np.random.RandomState(7)
+    # 150 points inside ONE 0.16 m pillar (cell [4.96, 5.12) x
+    # [0.96, 1.12)) + some sparse filler
+    dense = np.concatenate([
+        rng.uniform([4.97, 0.97, -1.5, 0], [5.11, 1.11, 0.5, 1], (150, 4)),
+        rng.uniform([8.0, -3.0, -1.5, 0], [12.0, 3.0, 0.5, 1], (40, 4)),
+    ]).astype(np.float32)
+    n = len(dense)
+    buf = np.zeros((N, 4), np.float32)
+    buf[:n] = dense
+    pts = jnp.asarray(buf)
+
+    variables = net.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, MAXV, T, 4), np.float32),
+        np.zeros((1, MAXV), np.int32),
+        np.full((1, MAXV, 3), -1, np.int32))
+
+    voxels, coords, counts, _ = voxelize(
+        pts, n, vs, rmin, grid_size=grid, max_voxels=MAXV,
+        max_points_per_voxel=T)
+    assert int(jnp.max(counts)) == T  # the cap actually engages
+    vfeats = net.apply(
+        variables, voxels[None], counts[None], coords[None],
+        method=lambda m, a, b, c: m.voxel_feature_extractor(a, b, c))
+    bev_mod = net.apply(
+        variables, vfeats, coords[None],
+        method=lambda m, f, c: m.middle_feature_extractor(f, c))
+
+    pts_s, cpt, vr, pcoords, cnts, _ = pp_fast.flat_pillarize(
+        pts, n, vs, rmin, grid_size=grid, max_voxels=MAXV,
+        max_points_per_voxel=T)
+    assert int(jnp.max(cnts)) == T
+    bev_flat = pp_fast.flat_pfn_bev(
+        variables, pts_s, cpt, vr, pcoords, cnts,
+        num_filters=tuple(
+            int(x) for x in model_cfg.voxel_feature_extractor.num_filters),
+        max_points_per_voxel=T, voxel_size=vs,
+        pc_range=tuple(gen.point_cloud_range), grid_size=grid,
+        num_input_features=4)
+    np.testing.assert_allclose(
+        np.asarray(bev_flat), np.asarray(bev_mod)[0], atol=2e-4, rtol=2e-4)
+
+
 def test_flat_e2e_detections_match():
     cfg = read_config(XYRES16)
     change_detection_range(cfg.model.second, [0.0, -10.24, 20.48, 10.24])
