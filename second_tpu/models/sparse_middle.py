@@ -104,7 +104,7 @@ def plan_scales(middle_class_name, output_shape, max_voxels):
 
 
 def build_host_plan(coords, scales, return_counts=False, banded=False,
-                    banded_cor_capacity=8192):
+                    banded_cor_capacity=8192, banded_bwd=False):
     """Run the C++ planner over every scale. coords: [V, 3] int32 zyx
     sorted by linear id with -1 padding rows. Returns a flat dict of
     int32 arrays: plan_subm{i} [V_i, 27], plan_coords{i} [V_{i+1}, 3],
@@ -115,6 +115,11 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
     (ops.banded_sparse.host_banded_arrays); the inference fast path
     consumes these instead of building them on device (~18 ms/rulebook
     there — layout-hostile int transposes).
+
+    banded_bwd=True (training on banded kernels) also emits the
+    TRANSPOSE plans of the strided convs under plan_btcv{i}_* — the
+    backward input-gradient is a banded conv over the transposed
+    rulebook (subm plans self-transpose; see ops.banded_sparse).
 
     Overflow (true active count > static capacity at any stage — spconv
     itself never drops voxels) logs a loud warning with the remedy;
@@ -167,6 +172,13 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
                         conv_slots, v_in=sc["in_cap"], kx=kernel[2],
                         cor_capacity=banded_cor_capacity).items():
                     plan[f"plan_bconv{i}_{name}"] = a
+                if banded_bwd:
+                    slots_t = banded_sparse.host_transpose_rulebook(
+                        conv_slots, v_in=sc["in_cap"])
+                    for name, a in banded_sparse.host_banded_arrays(
+                            slots_t, v_in=sc["out_cap"], kx=kernel[2],
+                            cor_capacity=banded_cor_capacity).items():
+                        plan[f"plan_btcv{i}_{name}"] = a
             coords = out_coords
     if return_counts:
         return plan, counts
@@ -396,10 +408,12 @@ class SparseMiddleBase(nn.Module):
                     down_slots = slots.reshape(
                         b, out_grid.lin.shape[-1], kd)
 
-            # Inference fast path: banded one-hot gather-GEMM kernels.
+            # Banded one-hot gather-GEMM kernels (inference AND
+            # training: banded_conv defines a custom VJP — subm plans
+            # self-transpose; strided convs get a transpose plan).
             # The banded plan depends only on the rulebook, so it is
             # built once per scale and shared by every conv on the set.
-            banded = self.use_banded and not train
+            banded = self.use_banded
             if banded:
                 from ..ops import banded_sparse
 
@@ -425,12 +439,31 @@ class SparseMiddleBase(nn.Module):
                         f"plan_bsub{scale_idx}", rulebooks[kernel],
                         v_in=v, kx=kernel[2], vout=v)
                 banded_down = None
+                banded_down_bwd = None
                 if down_op is not None:
+                    kx_d = _t3(down_op[2])[2]
+                    vout_d = out_grid.lin.shape[-1]
                     banded_down = _host_or_device(
                         f"plan_bconv{scale_idx}",
                         (down_slots, None), v_in=v,
-                        kx=_t3(down_op[2])[2],
-                        vout=out_grid.lin.shape[-1])
+                        kx=kx_d, vout=vout_d)
+                    if train:
+                        # transpose plan for the strided backward
+                        prefix = f"plan_btcv{scale_idx}"
+                        if plan is not None and f"{prefix}_rel" in plan:
+                            banded_down_bwd = banded_sparse.plan_from_host(
+                                plan[f"{prefix}_rel"],
+                                plan[f"{prefix}_bidx"],
+                                plan[f"{prefix}_hit"],
+                                plan[f"{prefix}_cor"],
+                                plan[f"{prefix}_cor_count"],
+                                v_in=vout_d, kx=kx_d, vout=v)
+                        else:
+                            slots_t = banded_sparse.transpose_rulebook(
+                                down_slots.astype(jnp.int32), v_in=v)
+                            banded_down_bwd = banded_sparse.build_banded_plan(
+                                slots_t, None, v_in=vout_d, kx=kx_d,
+                                cor_capacity=self.banded_cor_capacity)
                     self.sow(
                         "intermediates", f"banded_cor_scale{scale_idx}",
                         banded_down.cor_count)
@@ -475,7 +508,8 @@ class SparseMiddleBase(nn.Module):
                         w = w.astype(self.compute_dtype)
                     if banded:
                         feats = banded_sparse.banded_conv(
-                            grid.features, banded_down, w, bias)
+                            grid.features, banded_down, w, bias,
+                            bwd_plan=banded_down_bwd)
                         feats = jnp.where(
                             out_grid.valid[..., None], feats, 0.0)
                         grid = out_grid._replace(features=feats)

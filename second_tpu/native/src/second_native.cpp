@@ -506,4 +506,121 @@ int64_t down_plan(const int32_t* coords, int64_t v_cap,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Banded gather-plan arrays for one rulebook (numpy twin:
+// ops/banded_sparse.host_banded_arrays; layout/semantics documented
+// there).  slots [vout, k] int32 row-major, miss encoded as >= v_in.
+// Outputs:
+//   rel  [t, g, kx, M] int16  (-1 = miss / out-of-window)
+//   bidx [t, g] int32         (window block index; miss pairs inherit
+//                              the previous hit pair's index so the
+//                              Pallas pipeline skips the re-DMA)
+//   hit  [t, g] int32         (0 miss, 1 narrow <=2 blocks, 2 wide)
+//   cor  [3, cor_capacity] int32 ((out_row, in_slot, k); out_row ==
+//                              vout marks padding)
+// Returns the TRUE correction count (> cor_capacity = overflow, the
+// caller surfaces it).
+int64_t banded_plan(const int32_t* slots, int64_t vout, int64_t k,
+                    int64_t v_in, int64_t kx, int64_t cor_capacity,
+                    int16_t* rel, int32_t* bidx, int32_t* hit,
+                    int32_t* cor) {
+  const int64_t M = 128, BLK = 256, WIN_BLOCKS = 4;
+  const int64_t g = k / kx;
+  const int64_t t = (vout + M - 1) / M;
+  // table_pad(v_in) / BLK: padded feature-table blocks
+  const int64_t vp_blocks = (v_in + BLK - 1) / BLK + WIN_BLOCKS - 1;
+  const int64_t b0_max = vp_blocks - WIN_BLOCKS;
+  const int32_t big = (int32_t)1 << 30;
+
+  for (int64_t r = 0; r < cor_capacity; ++r) {
+    cor[r] = (int32_t)vout;
+    cor[cor_capacity + r] = 0;
+    cor[2 * cor_capacity + r] = 0;
+  }
+  int64_t cor_count = 0;
+  // miss pairs before the first hit pair inherit flat-pair-0's b0
+  // (numpy: b0_f[clip(last, 0)])
+  int64_t last_b0 = -1, b0_first = -1;
+
+  std::vector<int32_t> s_pair(kx * M);
+  for (int64_t ti = 0; ti < t; ++ti) {
+    const int64_t row0 = ti * M;
+    const int64_t rows = std::min(M, vout - row0);
+    for (int64_t gi = 0; gi < g; ++gi) {
+      // gather this (tile, offset-group) pair's slots; pad rows -> big
+      int32_t gmin = big;
+      for (int64_t x = 0; x < kx; ++x) {
+        const int64_t j = gi * kx + x;
+        for (int64_t m = 0; m < M; ++m) {
+          int32_t s = big;
+          if (m < rows) {
+            s = slots[(row0 + m) * k + j];
+            if (s >= v_in) s = big;
+          }
+          s_pair[x * M + m] = s;
+          if (s < gmin) gmin = s;
+        }
+      }
+      int64_t b0 = gmin / BLK;
+      if (b0 < 0) b0 = 0;
+      if (b0 > b0_max) b0 = b0_max;
+      if (b0_first < 0) b0_first = b0;
+      const int32_t lim = (int32_t)((b0 + WIN_BLOCKS) * BLK);
+      const int32_t base = (int32_t)(b0 * BLK);
+      int32_t maxrel = -1;
+      int16_t* rel_pair = rel + ((ti * g + gi) * kx) * M;
+      // corrections iterate (x, m) to match numpy's flattened
+      // [T, G, KX, M] nonzero order
+      for (int64_t x = 0; x < kx; ++x) {
+        for (int64_t m = 0; m < M; ++m) {
+          const int32_t s = s_pair[x * M + m];
+          int16_t rv = -1;
+          if (s < big) {
+            if (s < lim) {
+              rv = (int16_t)(s - base);
+              if (rv > maxrel) maxrel = rv;
+            } else {
+              if (cor_count < cor_capacity) {
+                cor[cor_count] = (int32_t)(row0 + m);
+                cor[cor_capacity + cor_count] = s;
+                cor[2 * cor_capacity + cor_count] =
+                    (int32_t)(gi * kx + x);
+              }
+              ++cor_count;
+            }
+          }
+          rel_pair[x * M + m] = rv;
+        }
+      }
+      const int64_t flat = ti * g + gi;
+      if (maxrel >= 0) {
+        hit[flat] = maxrel < 2 * BLK ? 1 : 2;
+        bidx[flat] = (int32_t)b0;
+        last_b0 = b0;
+      } else {
+        hit[flat] = 0;
+        bidx[flat] = (int32_t)(last_b0 >= 0 ? last_b0 : b0_first);
+      }
+    }
+  }
+  return cor_count;
+}
+
+// Invert a strided-conv rulebook (numpy twin:
+// ops/banded_sparse.host_transpose_rulebook).  slots [vout_rows, k]
+// (miss >= v_in) -> slots_t [rows, k] with slots_t[i, k] = consuming
+// output row (miss = vout_rows).  Per-k the map is injective.
+void transpose_rulebook(const int32_t* slots, int64_t vout_rows,
+                        int64_t k, int64_t v_in, int64_t rows,
+                        int32_t* slots_t) {
+  for (int64_t i = 0; i < rows * k; ++i) slots_t[i] = (int32_t)vout_rows;
+  for (int64_t o = 0; o < vout_rows; ++o) {
+    const int32_t* row = slots + o * k;
+    for (int64_t j = 0; j < k; ++j) {
+      const int32_t s = row[j];
+      if (s < v_in) slots_t[(int64_t)s * k + j] = (int32_t)o;
+    }
+  }
+}
+
 }  // extern "C"

@@ -37,8 +37,18 @@ it is built once per scale and shared by every conv on that set
 (spconv ``indice_key`` semantics, reference
 second/pytorch/models/middle.py:146-190).
 
-Inference-path only: the Pallas kernel defines no VJP.  Training uses
-the XLA gather path (`ops.sparse`).
+Training: :func:`banded_conv` is differentiable via ``jax.custom_vjp``
+(round 3).  The input-gradient is itself a banded conv — for
+submanifold convs ``dfeat[i] = sum_k dout[slots[i, k]] @ W[K-1-k]^T``
+(the SAME plan with kernel-mirrored transposed weights, because the
+full-cube offset set is symmetric and subm rulebooks satisfy
+``slots[o, k] = i  <=>  slots[i, K-1-k] = o``); strided convs need a
+host/device-built TRANSPOSE plan (``transpose_rulebook``) mapping input
+rows to the consuming output rows.  The weight-gradient runs on a
+second Pallas kernel (:func:`_banded_dw_call`) that re-uses the same
+window DMAs and accumulates ``gathered^T @ dout`` tiles in VMEM across
+the sequential grid.  CSR correction entries contribute to both grads
+through the same one-hot expansion as the forward pass.
 """
 
 import functools
@@ -264,16 +274,8 @@ def _banded_call_fused(table, bidx, hit, rel, wg, kx, g, t,
     )(bidx, hit, rel, wg, *([table] * (g * WIN_BLOCKS)))
 
 
-def banded_conv(features, plan: BandedPlan, weights, bias=None,
-                interpret=None):
-    """features [B, Vin, C] (rows sorted by linear id, padding rows
-    zero), plan from :func:`build_banded_plan`, weights [K, Cin, Cout].
-    Returns [B, Vout, Cout] in the features dtype (f32 accumulation).
-
-    interpret: None = auto (Pallas interpret mode off TPU).
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _banded_apply(features, plan: BandedPlan, weights, interpret):
+    """Forward impl (no VJP): features [B, Vin, C] -> [B, Vout, Cout]."""
     b, vout, k, kx, g, t, v_in, vp = plan.shape
     _, vin_rows, c = features.shape
     cout = weights.shape[-1]
@@ -309,9 +311,247 @@ def banded_conv(features, plan: BandedPlan, weights, bias=None,
         out = jax.lax.map(
             one, (table, plan.cor_out, plan.cor_in, plan.cor_k, out))
 
+    return out
+
+
+def _banded_dw(features, dout, plan: BandedPlan, interpret):
+    """Weight gradient: dW[k] = sum_o feat[slots[o, k]]^T dout[o],
+    computed on the MXU with the same windows as the forward kernel
+    plus the CSR correction entries. Returns [K, Cin, Cout] float32."""
+    b, vout, k, kx, g, t, v_in, vp = plan.shape
+    _, vin_rows, c = features.shape
+    cout = dout.shape[-1]
+    dtype = features.dtype
+
+    table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
+    dout_pad = jnp.zeros((b, t * M, cout), dtype).at[:, :vout].set(dout)
+    dwg = _banded_dw_call(
+        table.reshape(b * vp, c), dout_pad.reshape(b * t * M, cout),
+        plan.bidx, plan.hit, plan.rel, kx=kx, g=g, cout=cout,
+        interpret=interpret)                      # [G, kx*C, Cout] f32
+    dw = dwg.reshape(g * kx, c, cout)[:k]
+
+    r = plan.cor_out.shape[1]
+    if r:
+        def one(args):
+            tab, dob, co, ci, ck = args
+            rows = tab[jnp.clip(ci, 0, vp - 1)]          # [R, C]
+            drows = jnp.where(
+                (co < vout)[:, None],
+                dob[jnp.clip(co, 0, vout - 1)], 0.0)     # [R, Cout]
+            ohk = (ck[:, None] == jnp.arange(k)[None, :]).astype(dtype)
+            expanded = (ohk[:, :, None] * rows[:, None, :]).reshape(
+                r, k * c)                                # [R, K*C]
+            return jax.lax.dot_general(
+                expanded, drows, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [K*C, Cout]
+
+        dw_cor = jax.lax.map(
+            one, (table, dout_pad[:, :vout],
+                  plan.cor_out, plan.cor_in, plan.cor_k)).sum(0)
+        dw = dw + dw_cor.reshape(k, c, cout)
+    return dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _banded_core(features, weights, plans, interpret):
+    """plans: (plan, bwd_plan_or_None)."""
+    return _banded_apply(features, plans[0], weights, interpret)
+
+
+def _banded_core_fwd(features, weights, plans, interpret):
+    out = _banded_apply(features, plans[0], weights, interpret)
+    return out, (features, weights, plans)
+
+
+def _float0_like(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), tree)
+
+
+def _banded_core_bwd(interpret, res, dout):
+    features, weights, plans = res
+    plan, bwd_plan = plans
+    b, vout, k, kx, g, t, v_in, vp = plan.shape
+    vin_rows = features.shape[1]
+    dout = dout.astype(features.dtype)
+    if bwd_plan is None:
+        # submanifold: the plan is its own transpose under kernel
+        # mirroring (full-cube offsets: slots[o,k]=i <=> slots[i,K-1-k]=o)
+        if vout != vin_rows:
+            raise ValueError(
+                "banded_conv backward: strided plans (vout != vin) need "
+                "an explicit bwd_plan (transpose_rulebook + "
+                "build_banded_plan / host_banded_arrays)")
+        w_b = jnp.flip(weights, axis=0).transpose(0, 2, 1)  # [K,Cout,Cin]
+        dfeat = _banded_apply(dout, plan, w_b, interpret)
+    else:
+        w_b = weights.transpose(0, 2, 1)
+        dfeat = _banded_apply(dout, bwd_plan, w_b, interpret)
+    dfeat = dfeat[:, :vin_rows]
+    dw = _banded_dw(features, dout, plan, interpret).astype(weights.dtype)
+    return dfeat, dw, _float0_like(plans)
+
+
+_banded_core.defvjp(_banded_core_fwd, _banded_core_bwd)
+
+
+def _make_dw_kernel(kx, g, c, cout):
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        bidx_ref, hit_ref, rel_ref, dout_ref = refs[:4]
+        win_refs = refs[4:4 + g * WIN_BLOCKS]
+        dw_ref = refs[4 + g * WIN_BLOCKS]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, M), 0)
+        dn = (((0,), (0,)), ((), ()))
+
+        for gi in range(g):
+            wins4 = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
+
+            def contrib(nblk, gi=gi, wins4=wins4):
+                parts = []
+                for x in range(kx):
+                    relx = rel_ref[0, gi, x, :]      # [M] lanes
+                    gx = None
+                    for j in range(nblk):
+                        wj = wins4[j][:]
+                        ohj = (relx[None, :] - j * BLK == iota).astype(
+                            wj.dtype)
+                        d = jax.lax.dot_general(
+                            ohj, wj, dn,
+                            preferred_element_type=jnp.float32)
+                        gx = d if gx is None else gx + d
+                    parts.append(gx.astype(wins4[0].dtype))
+                g3 = jnp.concatenate(parts, axis=1)  # [M, kx*C]
+                # dW_g += gathered^T @ dout_tile
+                dw_ref[gi] += jax.lax.dot_general(
+                    g3, dout_ref[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(hit_ref[t, gi] == 1)
+            def _(contrib=contrib):
+                contrib(2)
+
+            @pl.when(hit_ref[t, gi] == 2)
+            def _(contrib=contrib):
+                contrib(WIN_BLOCKS)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kx", "g", "cout", "interpret"))
+def _banded_dw_call(table, dout_rows, bidx, hit, rel, kx, g, cout,
+                    interpret=False):
+    """table [B*Vp, C], dout_rows [B*T*M, Cout] -> [G, kx*C, Cout] f32.
+
+    Same grid/window structure as the forward call; the [G, kx*C, Cout]
+    accumulator lives in one VMEM-resident output block across the
+    sequential grid (index_map constant)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, c = table.shape
+    bt = rel.shape[0]
+
+    def win_spec(gi, j):
+        return pl.BlockSpec(
+            (BLK, c), lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi] + j, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # bidx, hit
+        grid=(bt,),
+        in_specs=[
+            pl.BlockSpec((1, g, KX_PAD, M),
+                         lambda ti, bi, hi: (ti, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, cout),
+                         lambda ti, bi, hi: (ti, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [win_spec(gi, j) for gi in range(g)
+             for j in range(WIN_BLOCKS)],
+        out_specs=pl.BlockSpec((g, kx * c, cout),
+                               lambda ti, bi, hi: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_dw_kernel(kx, g, c, cout),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, kx * c, cout), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(bidx, hit, rel, dout_rows, *([table] * (g * WIN_BLOCKS)))
+
+
+def banded_conv(features, plan: BandedPlan, weights, bias=None,
+                interpret=None, bwd_plan: BandedPlan = None):
+    """features [B, Vin, C] (rows sorted by linear id, padding rows
+    zero), plan from :func:`build_banded_plan`, weights [K, Cin, Cout].
+    Returns [B, Vout, Cout] in the features dtype (f32 accumulation).
+
+    Differentiable: subm plans (Vout == Vin) self-transpose; strided
+    plans need ``bwd_plan`` (see :func:`transpose_rulebook`) before
+    gradients flow — the error is raised at backward trace time.
+
+    interpret: None = auto (Pallas interpret mode off TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = _banded_core(features, weights, (plan, bwd_plan), interpret)
     if bias is not None:
         out = out + bias
     return out
+
+
+def transpose_rulebook(slots, v_in, vin_rows=None):
+    """Invert a strided-conv rulebook: slots [B, Vout, K] (values
+    >= v_in mark misses) -> slots_T [B, v_in(+pad), K] where
+    slots_T[i, k] = the output row consuming input i at kernel
+    position k (miss = Vout).  Per-k the map o -> slots[o, k] is
+    injective (fixed k determines o from the input coordinate), so a
+    plain scatter inverts it.  Works under jit; numpy twin in
+    host_transpose_rulebook.
+    """
+    b, vout_rows, k = slots.shape
+    rows = vin_rows if vin_rows is not None else v_in
+    s = slots.astype(jnp.int32)
+    o = jnp.broadcast_to(
+        jnp.arange(vout_rows, dtype=jnp.int32)[None, :, None], s.shape)
+    miss = s >= v_in
+    sc = jnp.where(miss, rows, s)  # out-of-bounds -> dropped
+    st = jnp.full((b, rows, k), vout_rows, jnp.int32)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None, None], s.shape)
+    kidx = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[None, None, :], s.shape)
+    st = st.at[bidx, sc, kidx].set(o, mode="drop")
+    return st
+
+
+def host_transpose_rulebook(slots, v_in, vin_rows=None):
+    """Host twin of :func:`transpose_rulebook` (unbatched [Vout, K]);
+    C++ kernel when available, numpy fallback."""
+    from ..native import sparse_plan as _native
+
+    if _native.available():
+        return _native.transpose_rulebook(slots, v_in, rows=vin_rows)
+    vout_rows, k = slots.shape
+    rows = vin_rows if vin_rows is not None else v_in
+    st = np.full((rows, k), vout_rows, np.int32)
+    s = np.asarray(slots, np.int64).ravel()
+    o = np.repeat(np.arange(vout_rows, dtype=np.int32), k)
+    kk = np.tile(np.arange(k, dtype=np.int32), vout_rows)
+    m = s < v_in
+    st[s[m], kk[m]] = o[m]
+    return st
 
 
 # ---------------------------------------------------------------------------
@@ -325,8 +565,8 @@ def banded_conv(features, plan: BandedPlan, weights, bias=None,
 
 
 def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
-    """numpy: slots [Vout, K] (miss >= v_in) -> dict of per-example
-    arrays (unbatched; the loader stacks them and
+    """Host planner: slots [Vout, K] (miss >= v_in) -> dict of
+    per-example arrays (unbatched; the loader stacks them and
     :func:`plan_from_host` assembles the device BandedPlan):
 
       rel  [T, G, kx, M] int16  (-1 = miss/out-of-window)
@@ -335,7 +575,20 @@ def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
       cor  [3, R] int32         ((out_row, in_slot, k); out_row ==
                                  Vout marks padding)
       cor_count [1] int32       (TRUE count, overflow observability)
+
+    Runs the C++ kernel (native/src/second_native.cpp banded_plan,
+    ~30x the numpy twin below — production per-frame planning budget)
+    when the library is built; the numpy path is the test oracle.
     """
+    from ..native import sparse_plan as _native
+
+    if _native.available():
+        return _native.banded_plan(slots, v_in, kx, cor_capacity)
+    return _host_banded_arrays_np(slots, v_in, kx, cor_capacity)
+
+
+def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
+    """numpy twin of the C++ banded planner (oracle + fallback)."""
     vout, k = slots.shape
     g = _grouping(k, kx)
     t = -(-vout // M)

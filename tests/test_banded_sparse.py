@@ -197,3 +197,115 @@ def test_banded_middle_matches_gather_path():
     out_train, _ = mid_banded.apply(
         variables, fj, cj, train=True, mutable=["batch_stats",
                                                 "intermediates"])
+
+
+def test_banded_subm_grads_match_gather():
+    """banded_conv VJP (self-transposed plan + Pallas dW) vs jax.grad
+    of the XLA gather path — same rulebook, same weights."""
+    rng = np.random.RandomState(4)
+    b, v, c, cout = 2, 384, 8, 16
+    shape = (6, 32, 32)
+    grid = _random_grid(rng, b, v, c, shape, density=0.85)
+    kernel = (3, 3, 3)
+    rulebook = sparse.build_subm_rulebook(grid, kernel)
+    k = int(np.prod(kernel))
+    w = jnp.asarray(rng.randn(k, c, cout).astype(np.float32) * 0.1)
+    slots, found = rulebook
+    plan = bs.build_banded_plan(slots, found, v_in=v, kx=3,
+                                cor_capacity=512)
+    tgt = jnp.asarray(rng.randn(b, v, cout).astype(np.float32))
+    valid = grid.valid[..., None]
+
+    def loss_ref(feats, w):
+        out = sparse.subm_conv(grid._replace(features=feats),
+                               rulebook, w).features
+        return jnp.sum(jnp.where(valid, (out - tgt) ** 2, 0.0))
+
+    def loss_banded(feats, w):
+        out = bs.banded_conv(feats, plan, w, interpret=True)
+        out = jnp.where(valid, out, 0.0)
+        return jnp.sum(jnp.where(valid, (out - tgt) ** 2, 0.0))
+
+    gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(grid.features, w)
+    gf, gw = jax.grad(loss_banded, argnums=(0, 1))(grid.features, w)
+    # padding feature rows can differ (gather path zeroes them via the
+    # valid mask); active rows must match
+    av = np.asarray(grid.valid)
+    np.testing.assert_allclose(
+        np.asarray(gf)[av], np.asarray(gf_ref)[av], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gw), np.asarray(gw_ref), rtol=1e-3, atol=1e-3)
+
+
+def test_banded_down_grads_match_gather():
+    """Strided banded conv with an explicit transpose plan."""
+    rng = np.random.RandomState(5)
+    b, v, c, cout = 2, 256, 8, 16
+    shape = (6, 24, 24)
+    kernel, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    grid = _random_grid(rng, b, v, c, shape, density=0.8)
+    out_grid = sparse.downsample_active_set(
+        grid, kernel, stride, pad, out_capacity=512)
+    k = int(np.prod(kernel))
+    w = jnp.asarray(rng.randn(k, c, cout).astype(np.float32) * 0.1)
+    ilin, ok, _ = sparse.sparse_conv_queries(
+        grid, out_grid, kernel, stride, pad)
+    slots, found = sparse._lookup(grid.lin, ilin, ok, grid.sentinel)
+    vout = out_grid.lin.shape[-1]
+    slots = slots.reshape(b, vout, k)
+    found = found.reshape(b, vout, k)
+    plan = bs.build_banded_plan(slots, found, v_in=v, kx=3,
+                                cor_capacity=1024)
+    slots_t = bs.transpose_rulebook(slots, v_in=v)
+    # numpy twin agrees
+    st_np = np.stack([
+        bs.host_transpose_rulebook(np.asarray(slots[i]), v_in=v)
+        for i in range(b)])
+    np.testing.assert_array_equal(np.asarray(slots_t), st_np)
+    bwd_plan = bs.build_banded_plan(
+        jnp.asarray(slots_t), None, v_in=vout, kx=3, cor_capacity=1024)
+
+    tgt = jnp.asarray(rng.randn(b, vout, cout).astype(np.float32))
+    ovalid = out_grid.valid[..., None]
+
+    def loss_ref(feats, w):
+        out = sparse.sparse_conv_apply(
+            grid._replace(features=feats), out_grid, slots, w).features
+        return jnp.sum(jnp.where(ovalid, (out - tgt) ** 2, 0.0))
+
+    def loss_banded(feats, w):
+        out = bs.banded_conv(feats, plan, w, interpret=True,
+                             bwd_plan=bwd_plan)
+        return jnp.sum(jnp.where(ovalid, (out - tgt) ** 2, 0.0))
+
+    gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(grid.features, w)
+    gf, gw = jax.grad(loss_banded, argnums=(0, 1))(grid.features, w)
+    av = np.asarray(grid.valid)
+    np.testing.assert_allclose(
+        np.asarray(gf)[av], np.asarray(gf_ref)[av], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gw), np.asarray(gw_ref), rtol=1e-3, atol=1e-3)
+
+
+def test_banded_strided_grad_without_bwd_plan_raises():
+    rng = np.random.RandomState(6)
+    b, v, c, cout = 1, 128, 8, 8
+    shape = (4, 16, 16)
+    kernel, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    grid = _random_grid(rng, b, v, c, shape, density=0.8)
+    out_grid = sparse.downsample_active_set(
+        grid, kernel, stride, pad, out_capacity=256)
+    ilin, ok, _ = sparse.sparse_conv_queries(
+        grid, out_grid, kernel, stride, pad)
+    slots, found = sparse._lookup(grid.lin, ilin, ok, grid.sentinel)
+    vout = out_grid.lin.shape[-1]
+    plan = bs.build_banded_plan(
+        slots.reshape(b, vout, 27), found.reshape(b, vout, 27),
+        v_in=v, kx=3, cor_capacity=256)
+    w = jnp.asarray(rng.randn(27, c, cout).astype(np.float32))
+
+    def loss(feats):
+        return bs.banded_conv(feats, plan, w, interpret=True).sum()
+
+    with pytest.raises(ValueError, match="bwd_plan"):
+        jax.grad(loss)(grid.features)
