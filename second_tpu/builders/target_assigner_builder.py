@@ -16,7 +16,15 @@ def build(target_assigner_config: schema.TargetAssigner, box_coder):
         if anchor_generator is not None:
             anchor_generators.append(anchor_generator)
         else:
-            raise NotImplementedError("no_anchor is not supported yet")
+            # no_anchor: the class contributes no anchors (it still
+            # takes a class-settings slot for names/similarity); only
+            # valid with assign_all, where thresholds ride per-anchor
+            # arrays (reference target_assigner_builder.py:30-33 —
+            # no_anchor classes must come last so the generator<->
+            # feature_map_size zip stays aligned, as in
+            # all.pp.largea.config)
+            assert not target_assigner_config.assign_per_class, (
+                "no_anchor requires assign_per_class: false")
         similarity_calcs.append(
             similarity_calculator_builder.build(
                 class_setting.region_similarity_calculator

@@ -208,6 +208,10 @@ class TargetAssigner:
         if isinstance(class_name, int):
             class_name = self._classes[class_name]
         class_idx = self._classes.index(class_name)
+        if class_idx >= len(self._anchor_generators):
+            # no_anchor class (trailing by contract — see
+            # target_assigner_builder): contributes zero anchors
+            return 0
         ag = self._anchor_generators[class_idx]
         feature_map_size = self._feature_map_sizes[class_idx]
         return np.prod(feature_map_size) * ag.num_anchors_per_localization

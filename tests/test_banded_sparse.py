@@ -309,3 +309,39 @@ def test_banded_strided_grad_without_bwd_plan_raises():
 
     with pytest.raises(ValueError, match="bwd_plan"):
         jax.grad(loss)(grid.features)
+
+
+def test_native_banded_planner_matches_numpy():
+    """C++ banded_plan / transpose_rulebook vs their numpy twins —
+    bit-exact on random rulebooks incl. correction overflow."""
+    from second_tpu.native import sparse_plan as native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(7)
+    for vout, k, kx, v_in, density, cap in [
+            (1000, 27, 3, 1024, 0.6, 512),
+            (130, 3, 1, 999, 0.9, 64),
+            (3000, 27, 3, 2000, 1.0, 128),   # overflow: count > cap
+            (128, 27, 3, 64, 0.5, 256),
+    ]:
+        base = np.sort(rng.randint(0, v_in, size=(vout, 1)), axis=0)
+        slots = np.clip(base + rng.randint(-400, 400, size=(vout, k)),
+                        0, v_in + 50).astype(np.int32)
+        slots[rng.rand(vout, k) > density] = v_in
+        a = bs._host_banded_arrays_np(slots, v_in=v_in, kx=kx,
+                                      cor_capacity=cap)
+        b = native.banded_plan(slots, v_in=v_in, kx=kx,
+                               cor_capacity=cap)
+        for key in a:
+            np.testing.assert_array_equal(
+                a[key], b[key], err_msg=f"{(vout, k, kx)}: {key}")
+        # transpose twin (strided-shape rulebook)
+        st_native = native.transpose_rulebook(slots, v_in)
+        st = np.full((v_in, k), vout, np.int32)
+        s = slots.astype(np.int64).ravel()
+        o = np.repeat(np.arange(vout, dtype=np.int32), k)
+        kk = np.tile(np.arange(k, dtype=np.int32), vout)
+        m = s < v_in
+        st[s[m], kk[m]] = o[m]
+        np.testing.assert_array_equal(st_native, st)
