@@ -396,6 +396,45 @@ def get_frustum(bbox_image, C, near_clip=0.001, far_clip=100):
     return np.concatenate([ret_xy, z_points], axis=1)
 
 
+def get_frustum_v2(bboxes, C, near_clip=0.001, far_clip=100):
+    """Batched :func:`get_frustum`: [N, 4] image bboxes -> [N, 8, 3]
+    camera-frame frustum corners (reference box_np_ops.py:541-559)."""
+    fku = C[0, 0]
+    fkv = -C[1, 1]
+    u0v0 = C[0:2, 2]
+    num_box = bboxes.shape[0]
+    z_points = np.tile(
+        np.array([near_clip] * 4 + [far_clip] * 4,
+                 dtype=C.dtype)[np.newaxis, :, np.newaxis],
+        [num_box, 1, 1])
+    box_corners = bboxes[..., [0, 1, 0, 3, 2, 3, 2, 1]].reshape(-1, 4, 2)
+    near_box_corners = (box_corners - u0v0) / np.array(
+        [fku / near_clip, -fkv / near_clip], dtype=C.dtype)
+    far_box_corners = (box_corners - u0v0) / np.array(
+        [fku / far_clip, -fkv / far_clip], dtype=C.dtype)
+    ret_xy = np.concatenate([near_box_corners, far_box_corners], axis=1)
+    return np.concatenate([ret_xy, z_points], axis=-1)
+
+
+def image_bboxes_to_lidar_frustums(bboxes, rect, Trv2c, P2,
+                                   near_clip=0.001, far_clip=100):
+    """[N, 4] image-plane bboxes -> [N, 8, 3] lidar-frame frustum
+    corners (the camera-decompose + rotate + camera_to_lidar sequence
+    shared by the reference's random_crop (core/preprocess.py:109-135)
+    and reference_detections culling (data/preprocess.py:162-171))."""
+    C, R, T = projection_matrix_to_CRT_kitti(P2)
+    frustums = get_frustum_v2(bboxes, C, near_clip, far_clip)
+    frustums -= T
+    frustums = np.einsum("ij, akj->aki", np.linalg.inv(R), frustums)
+    return camera_to_lidar(frustums, rect, Trv2c)
+
+
+def mask_points_in_corners(points, box_corners):
+    """[P] x [N, 8, 3] -> bool [P, N] point-in-(frustum/box) mask."""
+    surfaces = corner_to_surfaces_3d(box_corners)
+    return geometry.points_in_convex_polygon_3d(points[:, :3], surfaces)
+
+
 def remove_outside_points(points, rect, Trv2c, P2, image_shape):
     """Frustum-cull lidar points outside the camera image."""
     C, R, T = projection_matrix_to_CRT_kitti(P2)

@@ -474,6 +474,29 @@ def random_flip(gt_boxes, points, probability=0.5, random_flip_x=True,
     return gt_boxes, points
 
 
+def random_crop_frustum(bboxes, rect, Trv2c, P2,
+                        max_crop_height=1.0, max_crop_width=0.9):
+    """Random sub-bbox frustums for GT-paste occlusion augmentation
+    (reference core/preprocess.py:109-135): per image bbox, sample a
+    crop rectangle anchored at the bottom-right (or bottom-left, one
+    coin flip for all boxes) and return its lidar-frame frustum
+    corners [N, 8, 3]."""
+    num_gt = bboxes.shape[0]
+    crop_minxy = np.random.uniform(
+        [1 - max_crop_width, 1 - max_crop_height], [0.3, 0.3],
+        size=[num_gt, 2])
+    crop_maxxy = np.ones([num_gt, 2], dtype=bboxes.dtype)
+    crop_bboxes = np.concatenate([crop_minxy, crop_maxxy], axis=1)
+    left = np.random.choice([False, True], replace=False, p=[0.5, 0.5])
+    if left:
+        crop_bboxes[:, [0, 2]] -= crop_bboxes[:, 0:1]
+    # relative -> absolute image coordinates
+    crop_bboxes *= np.tile(bboxes[:, 2:] - bboxes[:, :2], [1, 2])
+    crop_bboxes += np.tile(bboxes[:, :2], [1, 2])
+    return box_ops.image_bboxes_to_lidar_frustums(
+        crop_bboxes, rect, Trv2c, P2)
+
+
 def global_scaling_v2(gt_boxes, points, min_scale=0.95, max_scale=1.05):
     noise_scale = np.random.uniform(min_scale, max_scale)
     points[:, :3] *= noise_scale

@@ -149,7 +149,25 @@ class DataBaseSamplerV2:
             s_points[:, :3] += info["box3d_lidar"][:3]
             s_points_list.append(s_points)
         if random_crop:
-            raise NotImplementedError("random frustum crop not ported")
+            # occlusion augmentation: crop a random image-plane
+            # sub-frustum out of each pasted object's points
+            # (reference sample_ops.py:182-201)
+            assert calib is not None
+            rect, Trv2c, P2 = calib["rect"], calib["Trv2c"], calib["P2"]
+            gt_bboxes = box_ops.box3d_to_bbox(
+                sampled_gt_boxes, rect, Trv2c, P2)
+            crop_frustums = prep.random_crop_frustum(
+                gt_bboxes, rect, Trv2c, P2)
+            s_points_list_new = []
+            for i, s_points in enumerate(s_points_list):
+                mask = box_ops.mask_points_in_corners(
+                    s_points, crop_frustums[i:i + 1]).reshape(-1)
+                num_remove = np.sum(mask)
+                if num_remove > 0 and (
+                        s_points.shape[0] - num_remove) > 15:
+                    s_points = s_points[np.logical_not(mask)]
+                s_points_list_new.append(s_points)
+            s_points_list = s_points_list_new
         return {
             "gt_names": np.array([s["name"] for s in sampled]),
             "difficulty": np.array([s["difficulty"] for s in sampled]),

@@ -110,7 +110,14 @@ def prep_pointcloud(input_dict,
     calib = input_dict.get("calib")
 
     if reference_detections is not None:
-        raise NotImplementedError("reference-detection frustum culling")
+        # keep only points inside the frustums of reference 2D
+        # detections (reference data/preprocess.py:162-171)
+        assert calib is not None
+        frustums = box_ops.image_bboxes_to_lidar_frustums(
+            reference_detections, calib["rect"], calib["Trv2c"],
+            calib["P2"])
+        masks = box_ops.mask_points_in_corners(points, frustums)
+        points = points[masks.any(-1)]
 
     if remove_outside_points:
         assert calib is not None
