@@ -110,15 +110,14 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
     int32 arrays: plan_subm{i} [V_i, 27], plan_coords{i} [V_{i+1}, 3],
     plan_conv{i} [V_{i+1}, K].
 
-    banded=True additionally emits banded one-hot gather plans per
-    scale under plan_bsub{i}_* / plan_bconv{i}_* keys
-    (ops.banded_sparse.host_banded_arrays); the inference fast path
-    consumes these instead of building them on device (~18 ms/rulebook
-    there — layout-hostile int transposes).
+    banded=True additionally emits the banded-kernel window metadata
+    per scale under plan_bsub{i}_* / plan_bconv{i}_* keys
+    (ops.banded_sparse.host_banded_arrays) — a few KB next to the
+    rulebooks, which the banded kernel consumes directly.
 
     banded_bwd=True (training on banded kernels) also emits the
-    TRANSPOSE plans of the strided convs under plan_btcv{i}_* — the
-    backward input-gradient is a banded conv over the transposed
+    TRANSPOSE rulebooks of the strided convs under plan_btcv{i}_* —
+    the backward input-gradient is a banded conv over the transposed
     rulebook (subm plans self-transpose; see ops.banded_sparse).
 
     Overflow (true active count > static capacity at any stage — spconv
@@ -175,6 +174,8 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
                 if banded_bwd:
                     slots_t = banded_sparse.host_transpose_rulebook(
                         conv_slots, v_in=sc["in_cap"])
+                    plan[f"plan_btcv{i}_slots"] = slots_t.astype(
+                        _slot_dtype(sc["out_cap"]))
                     for name, a in banded_sparse.host_banded_arrays(
                             slots_t, v_in=sc["out_cap"], kx=kernel[2],
                             cor_capacity=banded_cor_capacity).items():
@@ -419,16 +420,17 @@ class SparseMiddleBase(nn.Module):
 
                 def _host_or_device(prefix, slots_found, v_in, kx,
                                     vout):
-                    """Prefer host-emitted banded arrays (free: built
-                    in dataloader workers); fall back to the on-device
-                    builder (~18 ms/rulebook, tests + all-device)."""
-                    if plan is not None and f"{prefix}_rel" in plan:
+                    """Prefer host-emitted banded metadata (free:
+                    built in dataloader workers next to the rulebook);
+                    fall back to the on-device builder (a handful of
+                    reductions)."""
+                    s_kf, f_kf = slots_found
+                    if plan is not None and f"{prefix}_bidx" in plan:
                         return banded_sparse.plan_from_host(
-                            plan[f"{prefix}_rel"], plan[f"{prefix}_bidx"],
+                            s_kf, plan[f"{prefix}_bidx"],
                             plan[f"{prefix}_hit"], plan[f"{prefix}_cor"],
                             plan[f"{prefix}_cor_count"],
-                            v_in=v_in, kx=kx, vout=vout)
-                    s_kf, f_kf = slots_found
+                            v_in=v_in, kx=kx, vout=vout, found=f_kf)
                     return banded_sparse.build_banded_plan(
                         s_kf, f_kf, v_in=v_in, kx=kx,
                         cor_capacity=self.banded_cor_capacity)
@@ -450,9 +452,9 @@ class SparseMiddleBase(nn.Module):
                     if train:
                         # transpose plan for the strided backward
                         prefix = f"plan_btcv{scale_idx}"
-                        if plan is not None and f"{prefix}_rel" in plan:
+                        if plan is not None and f"{prefix}_bidx" in plan:
                             banded_down_bwd = banded_sparse.plan_from_host(
-                                plan[f"{prefix}_rel"],
+                                plan[f"{prefix}_slots"],
                                 plan[f"{prefix}_bidx"],
                                 plan[f"{prefix}_hit"],
                                 plan[f"{prefix}_cor"],

@@ -26,7 +26,6 @@ def _load():
         return None
     lib = ctypes.CDLL(path)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    i16p = ctypes.POINTER(ctypes.c_int16)
     i64 = ctypes.c_int64
     lib.subm_plan.argtypes = [
         i32p, i64, i64, i64, i64, i32p, i64, i32p]
@@ -36,7 +35,7 @@ def _load():
         i32p, i64, i64, i32p, i32p]
     lib.down_plan.restype = i64
     lib.banded_plan.argtypes = [
-        i32p, i64, i64, i64, i64, i64, i16p, i32p, i32p, i32p]
+        i32p, i64, i64, i64, i64, i64, i32p, i32p, i32p]
     lib.banded_plan.restype = i64
     lib.transpose_rulebook.argtypes = [
         i32p, i64, i64, i64, i64, i32p]
@@ -87,23 +86,20 @@ def down_plan(coords, shape, kernel, stride, padding, offsets, out_cap):
 
 
 def banded_plan(slots, v_in, kx, cor_capacity):
-    """Banded gather-plan arrays for one rulebook (C++ twin of
-    ops.banded_sparse.host_banded_arrays; same dict layout)."""
+    """Banded gather-plan metadata for one rulebook (C++ twin of
+    ops.banded_sparse._host_banded_arrays_np; same dict layout)."""
     lib = _load()
     slots = np.ascontiguousarray(slots, np.int32)
     vout, k = slots.shape
     m, g = 128, k // kx
     t = -(-vout // m)
-    rel = np.empty((t, g, kx, m), np.int16)
     bidx = np.empty((t, g), np.int32)
     hit = np.empty((t, g), np.int32)
     cor = np.empty((3, cor_capacity), np.int32)
     count = lib.banded_plan(
         _ip(slots), vout, k, int(v_in), int(kx), int(cor_capacity),
-        rel.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         _ip(bidx), _ip(hit), _ip(cor))
     return {
-        "rel": rel,
         "bidx": bidx,
         "hit": hit,
         "cor": cor,

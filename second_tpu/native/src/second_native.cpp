@@ -508,22 +508,22 @@ int64_t down_plan(const int32_t* coords, int64_t v_cap,
 
 // ---------------------------------------------------------------------------
 // Banded gather-plan arrays for one rulebook (numpy twin:
-// ops/banded_sparse.host_banded_arrays; layout/semantics documented
-// there).  slots [vout, k] int32 row-major, miss encoded as >= v_in.
-// Outputs:
-//   rel  [t, g, kx, M] int16  (-1 = miss / out-of-window)
+// ops/banded_sparse._host_banded_arrays_np; layout/semantics
+// documented there).  slots [vout, k] int32 row-major, miss encoded
+// as >= v_in.  The Pallas kernel consumes the rulebook itself; this
+// emits only the per-(tile, offset-group) metadata:
 //   bidx [t, g] int32         (window block index; miss pairs inherit
 //                              the previous hit pair's index so the
 //                              Pallas pipeline skips the re-DMA)
 //   hit  [t, g] int32         (0 miss, 1 narrow <=2 blocks, 2 wide)
 //   cor  [3, cor_capacity] int32 ((out_row, in_slot, k); out_row ==
-//                              vout marks padding)
+//                              vout marks padding; entries ordered by
+//                              (tile, row, group, x) like the twin)
 // Returns the TRUE correction count (> cor_capacity = overflow, the
 // caller surfaces it).
 int64_t banded_plan(const int32_t* slots, int64_t vout, int64_t k,
                     int64_t v_in, int64_t kx, int64_t cor_capacity,
-                    int16_t* rel, int32_t* bidx, int32_t* hit,
-                    int32_t* cor) {
+                    int32_t* bidx, int32_t* hit, int32_t* cor) {
   const int64_t M = 128, BLK = 256, WIN_BLOCKS = 4;
   const int64_t g = k / kx;
   const int64_t t = (vout + M - 1) / M;
@@ -542,64 +542,61 @@ int64_t banded_plan(const int32_t* slots, int64_t vout, int64_t k,
   // (numpy: b0_f[clip(last, 0)])
   int64_t last_b0 = -1, b0_first = -1;
 
-  std::vector<int32_t> s_pair(kx * M);
+  std::vector<int32_t> lim_pair(g);
   for (int64_t ti = 0; ti < t; ++ti) {
     const int64_t row0 = ti * M;
     const int64_t rows = std::min(M, vout - row0);
+    // pass 1: per-group window base + hit class
     for (int64_t gi = 0; gi < g; ++gi) {
-      // gather this (tile, offset-group) pair's slots; pad rows -> big
-      int32_t gmin = big;
-      for (int64_t x = 0; x < kx; ++x) {
-        const int64_t j = gi * kx + x;
-        for (int64_t m = 0; m < M; ++m) {
-          int32_t s = big;
-          if (m < rows) {
-            s = slots[(row0 + m) * k + j];
-            if (s >= v_in) s = big;
-          }
-          s_pair[x * M + m] = s;
-          if (s < gmin) gmin = s;
+      int32_t gmin = big, gmax_inwin = -1;
+      for (int64_t m = 0; m < rows; ++m) {
+        const int32_t* row = slots + (row0 + m) * k + gi * kx;
+        for (int64_t x = 0; x < kx; ++x) {
+          const int32_t s = row[x];
+          if (s < v_in && s < gmin) gmin = s;
         }
       }
       int64_t b0 = gmin / BLK;
-      if (b0 < 0) b0 = 0;
       if (b0 > b0_max) b0 = b0_max;
       if (b0_first < 0) b0_first = b0;
       const int32_t lim = (int32_t)((b0 + WIN_BLOCKS) * BLK);
-      const int32_t base = (int32_t)(b0 * BLK);
-      int32_t maxrel = -1;
-      int16_t* rel_pair = rel + ((ti * g + gi) * kx) * M;
-      // corrections iterate (x, m) to match numpy's flattened
-      // [T, G, KX, M] nonzero order
-      for (int64_t x = 0; x < kx; ++x) {
-        for (int64_t m = 0; m < M; ++m) {
-          const int32_t s = s_pair[x * M + m];
-          int16_t rv = -1;
-          if (s < big) {
-            if (s < lim) {
-              rv = (int16_t)(s - base);
-              if (rv > maxrel) maxrel = rv;
-            } else {
-              if (cor_count < cor_capacity) {
-                cor[cor_count] = (int32_t)(row0 + m);
-                cor[cor_capacity + cor_count] = s;
-                cor[2 * cor_capacity + cor_count] =
-                    (int32_t)(gi * kx + x);
-              }
-              ++cor_count;
-            }
+      for (int64_t m = 0; m < rows; ++m) {
+        const int32_t* row = slots + (row0 + m) * k + gi * kx;
+        for (int64_t x = 0; x < kx; ++x) {
+          const int32_t s = row[x];
+          if (s < v_in && s < lim) {
+            const int32_t rv = s - (int32_t)(b0 * BLK);
+            if (rv > gmax_inwin) gmax_inwin = rv;
           }
-          rel_pair[x * M + m] = rv;
         }
       }
+      lim_pair[gi] = lim;
       const int64_t flat = ti * g + gi;
-      if (maxrel >= 0) {
-        hit[flat] = maxrel < 2 * BLK ? 1 : 2;
+      if (gmax_inwin >= 0) {
+        hit[flat] = gmax_inwin < 2 * BLK ? 1 : 2;
         bidx[flat] = (int32_t)b0;
         last_b0 = b0;
       } else {
         hit[flat] = 0;
         bidx[flat] = (int32_t)(last_b0 >= 0 ? last_b0 : b0_first);
+      }
+    }
+    // pass 2: corrections in (row, group, x) order (twin parity)
+    for (int64_t m = 0; m < rows; ++m) {
+      const int32_t* row = slots + (row0 + m) * k;
+      for (int64_t gi = 0; gi < g; ++gi) {
+        for (int64_t x = 0; x < kx; ++x) {
+          const int32_t s = row[gi * kx + x];
+          if (s < v_in && s >= lim_pair[gi]) {
+            if (cor_count < cor_capacity) {
+              cor[cor_count] = (int32_t)(row0 + m);
+              cor[cor_capacity + cor_count] = s;
+              cor[2 * cor_capacity + cor_count] =
+                  (int32_t)(gi * kx + x);
+            }
+            ++cor_count;
+          }
+        }
       }
     }
   }

@@ -4,7 +4,7 @@ The TPU executes row-gathers at ~8 cycles/row (a sequential DMA-
 descriptor loop), which makes the straightforward gather->GEMM sparse
 conv in :mod:`second_tpu.ops.sparse` HBM-descriptor-bound: the car.fhd
 middle spends ~60 ms/frame issuing ~16M row gathers.  The MXU, by
-contrast, runs dense bf16 matmuls at >200 TF/s.  This module performs
+contrast, runs dense bf16 matmuls at >100 TF/s.  This module performs
 the gather ON the MXU:
 
   * Voxels are sorted by linearized coordinate (the SparseGrid
@@ -16,39 +16,42 @@ the gather ON the MXU:
     unrolled in-kernel.  Per hit triple the kernel reads 256-row
     window blocks of the table (two for "narrow" pairs — ~95%, spans
     <= 256 — four for "wide") and gathers via
-    ``one_hot(rel_slot) @ window`` MXU matmuls, then applies the
-    triple's weights with one [128, 3C] x [3C, Cout] matmul.  Misses
-    and absent offsets encode as rel = -1, which one-hot-matches
-    nothing and contributes zero.
+    ``one_hot(slot - window_base) @ window`` MXU matmuls, then applies
+    the triple's weights with one [128, 3C] x [3C, Cout] matmul.
+  * The kernel reads the RAW slot rulebook ([Vout, K] int32, rows =
+    output rows, lanes = kernel offsets — the layout the host planner
+    and the XLA path already produce) and rebases it in-kernel; the
+    only plan metadata is a per-(tile, offset-group) window index +
+    hit class [T, G].  Misses are encoded as ``v_in`` exactly, which
+    one-hot-matches the table's first zero padding row and contributes
+    nothing — no plan transposes, on host or device.
   * The ~1% of (tile, triple) pairs whose span exceeds the widest
     window ("outliers", sort-order discontinuities) fall back to a
     capacity-bounded CSR pass: gather the affected (out, in, k)
     entries row-wise, apply per-entry weights, scatter-add.  Overflow
     of the static correction capacity is counted, never silent.
 
-The banded plan (window block indices, relative slots, hit classes,
-correction lists) derives from the same slot rulebooks the XLA path
-uses.  In production the HOST planner builds it alongside the
-rulebooks (host_banded_arrays; the device build costs ~18 ms/rulebook
-in layout-hostile transposes) and ships it with the example; the
-on-device builder (build_banded_plan) remains for tests and the
-all-device path.  The plan depends only on the active set, so
-it is built once per scale and shared by every conv on that set
-(spconv ``indice_key`` semantics, reference
+The banded plan derives from the same slot rulebooks the XLA path
+uses.  In production the HOST planner emits the tiny bidx/hit/cor
+arrays alongside the rulebooks (host_banded_arrays, C++); the
+on-device builder (build_banded_plan) is a handful of reductions over
+reshaped views.  The plan depends only on the active set, so it is
+built once per scale and shared by every conv on that set (spconv
+``indice_key`` semantics, reference
 second/pytorch/models/middle.py:146-190).
 
-Training: :func:`banded_conv` is differentiable via ``jax.custom_vjp``
-(round 3).  The input-gradient is itself a banded conv — for
-submanifold convs ``dfeat[i] = sum_k dout[slots[i, k]] @ W[K-1-k]^T``
-(the SAME plan with kernel-mirrored transposed weights, because the
-full-cube offset set is symmetric and subm rulebooks satisfy
-``slots[o, k] = i  <=>  slots[i, K-1-k] = o``); strided convs need a
-host/device-built TRANSPOSE plan (``transpose_rulebook``) mapping input
-rows to the consuming output rows.  The weight-gradient runs on a
-second Pallas kernel (:func:`_banded_dw_call`) that re-uses the same
-window DMAs and accumulates ``gathered^T @ dout`` tiles in VMEM across
-the sequential grid.  CSR correction entries contribute to both grads
-through the same one-hot expansion as the forward pass.
+Training: :func:`banded_conv` is differentiable via ``jax.custom_vjp``.
+The input-gradient is itself a banded conv — for submanifold convs
+``dfeat[i] = sum_k dout[slots[i, k]] @ W[K-1-k]^T`` (the SAME plan with
+kernel-mirrored transposed weights, because the full-cube offset set is
+symmetric and subm rulebooks satisfy ``slots[o, k] = i  <=>
+slots[i, K-1-k] = o``); strided convs need a host/device-built
+TRANSPOSE plan (``transpose_rulebook``) mapping input rows to the
+consuming output rows.  The weight-gradient runs on a second Pallas
+kernel that re-uses the same window DMAs and accumulates
+``gathered^T @ dout`` tiles in VMEM across the sequential grid.  CSR
+correction entries contribute to both grads through the same one-hot
+expansion as the forward pass.
 """
 
 import functools
@@ -62,7 +65,6 @@ M = 128          # output rows per tile
 BLK = 256        # feature-table block size
 WIN_BLOCKS = 4   # max window = 4 blocks (1024 rows); "narrow" pairs
                  # (~95%, spans <= 256) touch only the first 2
-KX_PAD = 8       # sublane padding for the per-triple rel array
 
 
 class BandedPlan(NamedTuple):
@@ -72,9 +74,9 @@ class BandedPlan(NamedTuple):
     so a plan crosses jit boundaries without the ints turning into
     tracers)."""
 
+    slots: jnp.ndarray     # [B*T, M, K] int32, miss == Vin exactly
     bidx: jnp.ndarray      # [BT, G] int32 global window block index
-    hit: jnp.ndarray       # [BT, G] int32 0/1 (any in-window hit)
-    rel: jnp.ndarray       # [BT, G, KX_PAD, M] int32, -1 = miss
+    hit: jnp.ndarray       # [BT, G] int32 0 miss / 1 narrow / 2 wide
     cor_out: jnp.ndarray   # [B, R] int32 out row (Vout = pad/dump)
     cor_in: jnp.ndarray    # [B, R] int32 in slot (into padded table)
     cor_k: jnp.ndarray     # [B, R] int32 kernel offset index
@@ -104,7 +106,8 @@ def table_pad(v):
 def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
     """slots [B, Vout, K] int32 (miss >= v_in), found [B, Vout, K] bool
     or None -> BandedPlan.  kx: kernel x-extent (offset group size).
-    All ops are jit-traceable; runs once per (active set, kernel).
+    All ops are reshapes/reductions (no transposes); jit-traceable;
+    runs once per (active set, kernel).
     """
     b, vout, k = slots.shape
     g = _grouping(k, kx)
@@ -113,22 +116,19 @@ def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
     miss = slots >= v_in
     if found is not None:
         miss = miss | ~found
-    s = jnp.where(miss, jnp.int32(2 ** 30), slots.astype(jnp.int32))
+    s = jnp.where(miss, jnp.int32(v_in), slots.astype(jnp.int32))
     pad_rows = t * M - vout
     if pad_rows:
         s = jnp.concatenate(
-            [s, jnp.full((b, pad_rows, k), 2 ** 30, jnp.int32)], axis=1)
-    s = s.reshape(b, t, M, g, kx)
-    valid = s < 2 ** 30
-    gmin = s.min(axis=(2, 4))                      # [B, T, G]
-    gmax = jnp.where(valid, s, -1).max(axis=(2, 4))
-    b0 = jnp.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)
-    in_win = s < (b0[:, :, None, :, None] + WIN_BLOCKS) * BLK
-    rel = jnp.where(valid & in_win,
-                    s - b0[:, :, None, :, None] * BLK, -1)
-    any_hit = (gmax >= 0) & (rel >= 0).any(axis=(2, 4))
-    # hit class: 1 = narrow (first 2 blocks suffice), 2 = wide
-    narrow = rel.max(axis=(2, 4)) < 2 * BLK
+            [s, jnp.full((b, pad_rows, k), v_in, jnp.int32)], axis=1)
+    s4 = s.reshape(b, t, M, g, kx)
+    valid = s4 < v_in
+    gmin = jnp.where(valid, s4, jnp.int32(2 ** 30)).min(axis=(2, 4))
+    b0 = jnp.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)  # [B, T, G]
+    rel = s4 - (b0 * BLK)[:, :, None, :, None]
+    in_win = valid & (rel < WIN_BLOCKS * BLK)
+    any_hit = in_win.any(axis=(2, 4))
+    narrow = jnp.where(in_win, rel, -1).max(axis=(2, 4)) < 2 * BLK
     hit = jnp.where(any_hit, jnp.where(narrow, 1, 2), 0)
 
     # fill miss pairs' block index with the previous hit pair's (the
@@ -141,12 +141,6 @@ def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
     # per-batch table offset into the stacked [B*Vp, C] table
     bidx = bidx.reshape(b, t, g) + (
         jnp.arange(b, dtype=jnp.int32)[:, None, None] * (vp // BLK))
-
-    # rel -> [B*T, G, KX_PAD, M]
-    rel = rel.transpose(0, 1, 3, 4, 2)             # [B, T, G, KX, M]
-    rel = jnp.pad(rel, ((0, 0),) * 3 + ((0, KX_PAD - kx), (0, 0)),
-                  constant_values=-1)
-    rel = rel.reshape(b * t, g, KX_PAD, M)
 
     # CSR corrections: valid slots outside their pair's window
     need = (valid & ~in_win).reshape(b, t * M * g * kx)
@@ -171,41 +165,44 @@ def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
         one, (need, s.reshape(b, t * M * g * kx)))
 
     return BandedPlan(
+        slots=s.reshape(b * t, M, k),
         bidx=bidx.reshape(b * t, g).astype(jnp.int32),
         hit=hit.reshape(b * t, g).astype(jnp.int32),
-        rel=rel.astype(jnp.int32),
         cor_out=cor_out, cor_in=cor_in, cor_k=cor_k,
         cor_count=cor_count,
         shape=(b, vout, k, kx, g, t, v_in, vp),
     )
 
 
-def _make_fused_kernel(kx, g, c, cout, out_dtype):
+def _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b):
     from jax.experimental import pallas as pl
 
     def kernel(*refs):
-        bidx_ref, hit_ref, rel_ref, w_ref = refs[:4]
+        bidx_ref, hit_ref, s_ref, w_ref = refs[:4]
         win_refs = refs[4:4 + g * WIN_BLOCKS]
         out_ref, acc_ref = refs[4 + g * WIN_BLOCKS:]
         t = pl.program_id(0)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, M), 0)
-        dn = (((0,), (0,)), ((), ()))
+        iota = jax.lax.broadcasted_iota(jnp.int32, (M, BLK), 1)
+        dn = (((1,), (0,)), ((), ()))
+        batch_blk = (t // t_per_b) * vp_blocks
 
         for gi in range(g):
             wins4 = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
 
             def contrib(nblk, gi=gi, wins4=wins4):
+                # window base LOCAL to this example's table rows
+                base = (bidx_ref[t, gi] - batch_blk) * BLK
                 parts = []
                 for x in range(kx):
-                    relx = rel_ref[0, gi, x, :]      # [M] lanes
+                    col = gi * kx + x
+                    rel = s_ref[0, :, col:col + 1] - base   # [M, 1]
                     gx = None
                     for j in range(nblk):
                         wj = wins4[j][:]
-                        ohj = (relx[None, :] - j * BLK == iota).astype(
-                            wj.dtype)
+                        ohm = (rel - j * BLK == iota).astype(wj.dtype)
                         d = jax.lax.dot_general(
-                            ohj, wj, dn,
+                            ohm, wj, dn,
                             preferred_element_type=jnp.float32)
                         gx = d if gx is None else gx + d
                     parts.append(gx.astype(wins4[0].dtype))
@@ -228,19 +225,19 @@ def _make_fused_kernel(kx, g, c, cout, out_dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kx", "g", "t", "interpret", "out_dtype"))
-def _banded_call_fused(table, bidx, hit, rel, wg, kx, g, t,
-                       out_dtype, interpret=False):
-    """Fused-tile variant: grid (B*T,) with all offset-triples of a
-    tile handled in ONE grid step (the (tile, triple) grid pays ~0.3 us
-    of Mosaic step overhead per pair — ~12 ms/frame across the car.fhd
-    middle's ~40k pairs)."""
+    static_argnames=("kx", "g", "vp_blocks", "t_per_b", "interpret",
+                     "out_dtype"))
+def _banded_call_fused(table, slots, bidx, hit, wg, kx, g, vp_blocks,
+                       t_per_b, out_dtype, interpret=False):
+    """Fused-tile kernel: grid (B*T,), all offset-triples of a tile in
+    ONE grid step.  table [B*Vp, C]; slots [BT, M, K] int32 (miss =
+    Vin); bidx/hit [BT, G]; wg [G, kx*C, Cout]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     _, c = table.shape
     cout = wg.shape[-1]
-    bt = rel.shape[0]
+    bt, _, k = slots.shape
 
     def win_spec(gi, j):
         return pl.BlockSpec(
@@ -251,8 +248,8 @@ def _banded_call_fused(table, bidx, hit, rel, wg, kx, g, t,
         num_scalar_prefetch=2,      # bidx, hit
         grid=(bt,),
         in_specs=[
-            pl.BlockSpec((1, g, KX_PAD, M),
-                         lambda ti, bi, hi: (ti, 0, 0, 0),
+            pl.BlockSpec((1, M, k),
+                         lambda ti, bi, hi: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, kx * c, cout),
                          lambda ti, bi, hi: (0, 0, 0),
@@ -265,13 +262,13 @@ def _banded_call_fused(table, bidx, hit, rel, wg, kx, g, t,
         scratch_shapes=[pltpu.VMEM((M, cout), jnp.float32)],
     )
     return pl.pallas_call(
-        _make_fused_kernel(kx, g, c, cout, out_dtype),
+        _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bt * M, cout), out_dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(bidx, hit, rel, wg, *([table] * (g * WIN_BLOCKS)))
+    )(bidx, hit, slots, wg, *([table] * (g * WIN_BLOCKS)))
 
 
 def _banded_apply(features, plan: BandedPlan, weights, interpret):
@@ -284,8 +281,9 @@ def _banded_apply(features, plan: BandedPlan, weights, interpret):
     table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
     wg = weights.astype(dtype).reshape(g, kx * c, cout)
     out = _banded_call_fused(
-        table.reshape(b * vp, c), plan.bidx, plan.hit, plan.rel, wg,
-        kx=kx, g=g, t=t, out_dtype=dtype, interpret=interpret)
+        table.reshape(b * vp, c), plan.slots, plan.bidx, plan.hit, wg,
+        kx=kx, g=g, vp_blocks=vp // BLK, t_per_b=t, out_dtype=dtype,
+        interpret=interpret)
     out = out.reshape(b, t * M, cout)[:, :vout]
 
     # CSR corrections for out-of-window entries.  Per-entry weight
@@ -314,6 +312,106 @@ def _banded_apply(features, plan: BandedPlan, weights, interpret):
     return out
 
 
+def _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b):
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        bidx_ref, hit_ref, s_ref, dout_ref = refs[:4]
+        win_refs = refs[4:4 + g * WIN_BLOCKS]
+        dw_ref = refs[4 + g * WIN_BLOCKS]
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (M, BLK), 1)
+        dn = (((1,), (0,)), ((), ()))
+        batch_blk = (t // t_per_b) * vp_blocks
+
+        for gi in range(g):
+            wins4 = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
+
+            def contrib(nblk, gi=gi, wins4=wins4):
+                base = (bidx_ref[t, gi] - batch_blk) * BLK
+                parts = []
+                for x in range(kx):
+                    col = gi * kx + x
+                    rel = s_ref[0, :, col:col + 1] - base
+                    gx = None
+                    for j in range(nblk):
+                        wj = wins4[j][:]
+                        ohm = (rel - j * BLK == iota).astype(wj.dtype)
+                        d = jax.lax.dot_general(
+                            ohm, wj, dn,
+                            preferred_element_type=jnp.float32)
+                        gx = d if gx is None else gx + d
+                    parts.append(gx.astype(wins4[0].dtype))
+                g3 = jnp.concatenate(parts, axis=1)  # [M, kx*C]
+                # dW_g += gathered^T @ dout_tile
+                dw_ref[gi] += jax.lax.dot_general(
+                    g3, dout_ref[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(hit_ref[t, gi] == 1)
+            def _(contrib=contrib):
+                contrib(2)
+
+            @pl.when(hit_ref[t, gi] == 2)
+            def _(contrib=contrib):
+                contrib(WIN_BLOCKS)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kx", "g", "cout", "vp_blocks", "t_per_b",
+                     "interpret"))
+def _banded_dw_call(table, dout_rows, slots, bidx, hit, kx, g, cout,
+                    vp_blocks, t_per_b, interpret=False):
+    """table [B*Vp, C], dout_rows [B*T*M, Cout] -> [G, kx*C, Cout] f32.
+
+    Same grid/window structure as the forward call; the [G, kx*C, Cout]
+    accumulator lives in one VMEM-resident output block across the
+    sequential grid (index_map constant)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, c = table.shape
+    bt, _, k = slots.shape
+
+    def win_spec(gi, j):
+        return pl.BlockSpec(
+            (BLK, c), lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi] + j, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # bidx, hit
+        grid=(bt,),
+        in_specs=[
+            pl.BlockSpec((1, M, k),
+                         lambda ti, bi, hi: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, cout),
+                         lambda ti, bi, hi: (ti, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [win_spec(gi, j) for gi in range(g)
+             for j in range(WIN_BLOCKS)],
+        out_specs=pl.BlockSpec((g, kx * c, cout),
+                               lambda ti, bi, hi: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, kx * c, cout), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(bidx, hit, slots, dout_rows, *([table] * (g * WIN_BLOCKS)))
+
+
 def _banded_dw(features, dout, plan: BandedPlan, interpret):
     """Weight gradient: dW[k] = sum_o feat[slots[o, k]]^T dout[o],
     computed on the MXU with the same windows as the forward kernel
@@ -327,7 +425,8 @@ def _banded_dw(features, dout, plan: BandedPlan, interpret):
     dout_pad = jnp.zeros((b, t * M, cout), dtype).at[:, :vout].set(dout)
     dwg = _banded_dw_call(
         table.reshape(b * vp, c), dout_pad.reshape(b * t * M, cout),
-        plan.bidx, plan.hit, plan.rel, kx=kx, g=g, cout=cout,
+        plan.slots, plan.bidx, plan.hit, kx=kx, g=g, cout=cout,
+        vp_blocks=vp // BLK, t_per_b=t,
         interpret=interpret)                      # [G, kx*C, Cout] f32
     dw = dwg.reshape(g * kx, c, cout)[:k]
 
@@ -382,7 +481,7 @@ def _banded_core_bwd(interpret, res, dout):
             raise ValueError(
                 "banded_conv backward: strided plans (vout != vin) need "
                 "an explicit bwd_plan (transpose_rulebook + "
-                "build_banded_plan / host_banded_arrays)")
+                "build_banded_plan / host plans)")
         w_b = jnp.flip(weights, axis=0).transpose(0, 2, 1)  # [K,Cout,Cin]
         dfeat = _banded_apply(dout, plan, w_b, interpret)
     else:
@@ -394,102 +493,6 @@ def _banded_core_bwd(interpret, res, dout):
 
 
 _banded_core.defvjp(_banded_core_fwd, _banded_core_bwd)
-
-
-def _make_dw_kernel(kx, g, c, cout):
-    from jax.experimental import pallas as pl
-
-    def kernel(*refs):
-        bidx_ref, hit_ref, rel_ref, dout_ref = refs[:4]
-        win_refs = refs[4:4 + g * WIN_BLOCKS]
-        dw_ref = refs[4 + g * WIN_BLOCKS]
-        t = pl.program_id(0)
-
-        @pl.when(t == 0)
-        def _():
-            dw_ref[:] = jnp.zeros_like(dw_ref)
-
-        iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, M), 0)
-        dn = (((0,), (0,)), ((), ()))
-
-        for gi in range(g):
-            wins4 = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
-
-            def contrib(nblk, gi=gi, wins4=wins4):
-                parts = []
-                for x in range(kx):
-                    relx = rel_ref[0, gi, x, :]      # [M] lanes
-                    gx = None
-                    for j in range(nblk):
-                        wj = wins4[j][:]
-                        ohj = (relx[None, :] - j * BLK == iota).astype(
-                            wj.dtype)
-                        d = jax.lax.dot_general(
-                            ohj, wj, dn,
-                            preferred_element_type=jnp.float32)
-                        gx = d if gx is None else gx + d
-                    parts.append(gx.astype(wins4[0].dtype))
-                g3 = jnp.concatenate(parts, axis=1)  # [M, kx*C]
-                # dW_g += gathered^T @ dout_tile
-                dw_ref[gi] += jax.lax.dot_general(
-                    g3, dout_ref[:], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-            @pl.when(hit_ref[t, gi] == 1)
-            def _(contrib=contrib):
-                contrib(2)
-
-            @pl.when(hit_ref[t, gi] == 2)
-            def _(contrib=contrib):
-                contrib(WIN_BLOCKS)
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit, static_argnames=("kx", "g", "cout", "interpret"))
-def _banded_dw_call(table, dout_rows, bidx, hit, rel, kx, g, cout,
-                    interpret=False):
-    """table [B*Vp, C], dout_rows [B*T*M, Cout] -> [G, kx*C, Cout] f32.
-
-    Same grid/window structure as the forward call; the [G, kx*C, Cout]
-    accumulator lives in one VMEM-resident output block across the
-    sequential grid (index_map constant)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    _, c = table.shape
-    bt = rel.shape[0]
-
-    def win_spec(gi, j):
-        return pl.BlockSpec(
-            (BLK, c), lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi] + j, 0),
-            memory_space=pltpu.VMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,      # bidx, hit
-        grid=(bt,),
-        in_specs=[
-            pl.BlockSpec((1, g, KX_PAD, M),
-                         lambda ti, bi, hi: (ti, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, cout),
-                         lambda ti, bi, hi: (ti, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [win_spec(gi, j) for gi in range(g)
-             for j in range(WIN_BLOCKS)],
-        out_specs=pl.BlockSpec((g, kx * c, cout),
-                               lambda ti, bi, hi: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        _make_dw_kernel(kx, g, c, cout),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, kx * c, cout), jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(bidx, hit, rel, dout_rows, *([table] * (g * WIN_BLOCKS)))
 
 
 def banded_conv(features, plan: BandedPlan, weights, bias=None,
@@ -555,29 +558,27 @@ def host_transpose_rulebook(slots, v_in, vin_rows=None):
 
 
 # ---------------------------------------------------------------------------
-# Host-side banded planning (numpy twin of build_banded_plan).
+# Host-side banded planning.
 #
-# Building the plan on device costs ~18 ms/rulebook (layout-hostile
-# transposes of [B,T,M,G,KX] int tensors); in production the planner
-# runs in dataloader workers and overlaps device compute, exactly like
-# the C++ rulebook builder it extends.
+# The kernel consumes the raw rulebook, so the host plan is only the
+# per-(tile, group) window index / hit class plus the correction list —
+# a few KB next to the rulebook the loader ships anyway.
 # ---------------------------------------------------------------------------
 
 
 def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
     """Host planner: slots [Vout, K] (miss >= v_in) -> dict of
     per-example arrays (unbatched; the loader stacks them and
-    :func:`plan_from_host` assembles the device BandedPlan):
+    :func:`plan_from_host` assembles the device BandedPlan together
+    with the rulebook):
 
-      rel  [T, G, kx, M] int16  (-1 = miss/out-of-window)
       bidx [T, G] int32         (window block index, no batch offset)
       hit  [T, G] int32
       cor  [3, R] int32         ((out_row, in_slot, k); out_row ==
                                  Vout marks padding)
       cor_count [1] int32       (TRUE count, overflow observability)
 
-    Runs the C++ kernel (native/src/second_native.cpp banded_plan,
-    ~30x the numpy twin below — production per-frame planning budget)
+    Runs the C++ kernel (native/src/second_native.cpp banded_plan)
     when the library is built; the numpy path is the test oracle.
     """
     from ..native import sparse_plan as _native
@@ -599,20 +600,14 @@ def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
     if t * M - vout:
         s = np.concatenate(
             [s, np.full((t * M - vout, k), big, np.int32)], 0)
-    # one contiguous transpose into the target [T, G, KX, M] layout;
-    # every later pass reduces/broadcasts over trailing axes
-    sk = np.ascontiguousarray(
-        s.reshape(t, M, g, kx).transpose(0, 2, 3, 1))
+    sk = s.reshape(t, M, g, kx)
     valid = sk < big
-    gmin = sk.min(axis=(2, 3))                      # [T, G]
-    gmax = np.where(valid, sk, -1).max(axis=(2, 3))
+    gmin = sk.min(axis=(1, 3))                      # [T, G]
     b0 = np.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)
-    lim = ((b0 + WIN_BLOCKS) * BLK)[:, :, None, None]
-    base = (b0 * BLK)[:, :, None, None]
-    in_win = sk < lim
-    rel = np.where(valid & in_win, sk - base, -1)   # [T, G, KX, M]
-    any_hit = (gmax >= 0) & (rel >= 0).any(axis=(2, 3))
-    narrow = rel.max(axis=(2, 3)) < 2 * BLK
+    rel = sk - (b0 * BLK)[:, None, :, None]
+    in_win = valid & (rel < WIN_BLOCKS * BLK)
+    any_hit = in_win.any(axis=(1, 3))
+    narrow = np.where(in_win, rel, -1).max(axis=(1, 3)) < 2 * BLK
     hit = np.where(any_hit, np.where(narrow, 1, 2), 0)
 
     hit_f = hit.reshape(-1) > 0
@@ -621,7 +616,7 @@ def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
     last = np.maximum.accumulate(idx)
     bidx = np.where(hit_f, b0_f, b0_f[np.clip(last, 0, None)])
 
-    need = valid & ~in_win                          # [T, G, KX, M]
+    need = valid & ~in_win                          # [T, M, G, KX]
     cor_count = int(need.sum())
     r = cor_capacity
     cor = np.zeros((3, r), np.int32)
@@ -630,14 +625,12 @@ def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
     n = min(len(flat), r)
     if n:
         fl = flat[:n]
-        m_i = fl % M
-        gk = (fl // M) % (g * kx)
-        t_i = fl // (M * g * kx)
-        cor[0, :n] = t_i * M + m_i
+        gk = fl % (g * kx)
+        tm = fl // (g * kx)
+        cor[0, :n] = tm
         cor[1, :n] = sk.reshape(-1)[fl]
         cor[2, :n] = gk                             # (g, kx) flat == k
     return {
-        "rel": rel.astype(np.int16),
         "bidx": bidx.reshape(t, g).astype(np.int32),
         "hit": hit.astype(np.int32),
         "cor": cor,
@@ -645,24 +638,34 @@ def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
     }
 
 
-def plan_from_host(rel, bidx, hit, cor, cor_count, v_in, kx,
-                   vout=None):
+def plan_from_host(slots, bidx, hit, cor, cor_count, v_in, kx,
+                   vout=None, found=None):
     """Assemble a BandedPlan from loader-stacked host arrays:
-    rel [B, T, G, kx, M] int16, bidx/hit [B, T, G], cor [B, 3, R],
-    cor_count [B, 1]."""
+    slots [B, Vout, K] (the rulebook, any int dtype, miss >= v_in),
+    bidx/hit [B, T, G], cor [B, 3, R], cor_count [B, 1].
+
+    found: optional [B, Vout, K] bool (device-built rulebooks whose
+    miss slots are arbitrary searchsorted rows)."""
     b, t, g = bidx.shape
-    vout_cap = vout if vout is not None else t * M
     k = g * kx
     vp = table_pad(v_in)
-    rel8 = jnp.pad(rel.astype(jnp.int32),
-                   ((0, 0),) * 3 + ((0, KX_PAD - kx), (0, 0)),
-                   constant_values=-1)
+    vout_rows = slots.shape[1]
+    vout_cap = vout if vout is not None else vout_rows
+    s = slots.astype(jnp.int32)
+    miss = s >= v_in
+    if found is not None:
+        miss = miss | ~found
+    s = jnp.where(miss, jnp.int32(v_in), s)
+    pad_rows = t * M - vout_rows
+    if pad_rows:
+        s = jnp.concatenate(
+            [s, jnp.full((b, pad_rows, k), v_in, jnp.int32)], axis=1)
     bidx = bidx.astype(jnp.int32) + (
         jnp.arange(b, dtype=jnp.int32)[:, None, None] * (vp // BLK))
     return BandedPlan(
+        slots=s.reshape(b * t, M, k),
         bidx=bidx.reshape(b * t, g),
         hit=hit.astype(jnp.int32).reshape(b * t, g),
-        rel=rel8.reshape(b * t, g, KX_PAD, M),
         cor_out=cor[:, 0, :].astype(jnp.int32),
         cor_in=cor[:, 1, :].astype(jnp.int32),
         cor_k=cor[:, 2, :].astype(jnp.int32),
