@@ -30,7 +30,7 @@ def lib_path():
         _BUILD_DIR.mkdir(exist_ok=True)
         cmd = [
             os.environ.get("CXX", "g++"),
-            "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
             str(_SRC), "-o", str(_LIB),
         ]
         try:

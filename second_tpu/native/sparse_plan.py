@@ -93,7 +93,10 @@ def banded_plan(slots, v_in, kx, cor_capacity):
     vout, k = slots.shape
     m, g = 128, k // kx
     t = -(-vout // m)
-    bidx = np.empty((t, g), np.int32)
+    # WIN_BLOCKS must match ops.banded_sparse / second_native.cpp
+    from ..ops.banded_sparse import WIN_BLOCKS
+
+    bidx = np.empty((t, g, WIN_BLOCKS), np.int32)
     hit = np.empty((t, g), np.int32)
     cor = np.empty((3, cor_capacity), np.int32)
     count = lib.banded_plan(

@@ -385,15 +385,53 @@ void subm_plan(const int32_t* coords, int64_t v_cap,
     lin[n] = (int64_t)coords[n * 3] * hw +
              (int64_t)coords[n * 3 + 1] * w + coords[n * 3 + 2];
   }
-  for (int64_t i = n * k; i < v_cap * k; ++i) slots[i] = miss;
-  // i-outer / j-inner keeps the slot writes contiguous; one monotone
-  // merge cursor per kernel offset
   std::vector<int64_t> dlin(k);
-  std::vector<int64_t> ti(k, 0);
   for (int64_t j = 0; j < k; ++j) {
     dlin[j] = (int64_t)offsets[j * 3] * hw +
               (int64_t)offsets[j * 3 + 1] * w + offsets[j * 3 + 2];
   }
+  // Centered full-cube offsets are antisymmetric (offs[j] ==
+  // -offs[k-1-j], center == 0): a hit slots[i, j] = t implies the
+  // mirrored hit slots[t, k-1-j] = i, so only the lower half of the
+  // offsets needs the merge.
+  bool symmetric = (k % 2) == 1;
+  for (int64_t j = 0; symmetric && j < k; ++j) {
+    symmetric = offsets[j * 3] == -offsets[(k - 1 - j) * 3] &&
+                offsets[j * 3 + 1] == -offsets[(k - 1 - j) * 3 + 1] &&
+                offsets[j * 3 + 2] == -offsets[(k - 1 - j) * 3 + 2];
+  }
+  if (symmetric) {
+    for (int64_t i = 0; i < v_cap * k; ++i) slots[i] = miss;
+    const int64_t half = k / 2;
+    std::vector<int64_t> ti(half, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t z0 = coords[i * 3], y0 = coords[i * 3 + 1],
+                    x0 = coords[i * 3 + 2];
+      const int64_t li = lin[i];
+      int32_t* row = slots + i * k;
+      row[half] = (int32_t)i;  // center offset is the row itself
+      for (int64_t j = 0; j < half; ++j) {
+        const int64_t z = z0 + offsets[j * 3],
+                      y = y0 + offsets[j * 3 + 1],
+                      x = x0 + offsets[j * 3 + 2];
+        if (z < 0 || y < 0 || x < 0 || z >= d || y >= h || x >= w)
+          continue;
+        const int64_t q = li + dlin[j];  // increasing over valid i
+        int64_t t = ti[j];
+        while (t < n && lin[t] < q) ++t;
+        ti[j] = t;
+        if (t < n && lin[t] == q) {
+          row[j] = (int32_t)t;
+          slots[t * k + (k - 1 - j)] = (int32_t)i;
+        }
+      }
+    }
+    return;
+  }
+  for (int64_t i = n * k; i < v_cap * k; ++i) slots[i] = miss;
+  // i-outer / j-inner keeps the slot writes contiguous; one monotone
+  // merge cursor per kernel offset
+  std::vector<int64_t> ti(k, 0);
   for (int64_t i = 0; i < n; ++i) {
     const int64_t z0 = coords[i * 3], y0 = coords[i * 3 + 1],
                   x0 = coords[i * 3 + 2];
@@ -448,8 +486,11 @@ int64_t down_plan(const int32_t* coords, int64_t v_cap,
   auto ceil_div = [](int64_t a, int64_t b) {
     return a >= 0 ? (a + b - 1) / b : -((-a) / b);
   };
-  std::vector<int64_t> cands;
-  cands.reserve(n * 8);
+  // Mark candidate outputs in a bitmap over the output grid, then scan
+  // set bits in order: sorted + deduped for free, O(n*8 + grid/64) —
+  // the candidate sort this replaces dominated the planner.
+  const int64_t ncells = od * ohw;
+  std::vector<uint64_t> bitmap((ncells + 63) / 64, 0);
   for (int64_t i = 0; i < n; ++i) {
     const int64_t z = coords[i * 3], y = coords[i * 3 + 1],
                   x = coords[i * 3 + 2];
@@ -460,24 +501,32 @@ int64_t down_plan(const int32_t* coords, int64_t v_cap,
     const int64_t ox0 = std::max<int64_t>(ceil_div(x + px - kx + 1, sx), 0);
     const int64_t ox1 = std::min((x + px) / sx, ow - 1);
     for (int64_t oz = oz0; oz <= oz1; ++oz)
-      for (int64_t oy = oy0; oy <= oy1; ++oy)
-        for (int64_t ox = ox0; ox <= ox1; ++ox)
-          cands.push_back(oz * ohw + oy * ow + ox);
+      for (int64_t oy = oy0; oy <= oy1; ++oy) {
+        const int64_t base = oz * ohw + oy * ow;
+        for (int64_t ox = ox0; ox <= ox1; ++ox) {
+          const int64_t lin2 = base + ox;
+          bitmap[lin2 >> 6] |= (uint64_t)1 << (lin2 & 63);
+        }
+      }
   }
-  std::sort(cands.begin(), cands.end());
-  cands.erase(std::unique(cands.begin(), cands.end()), cands.end());
-  const int64_t total = (int64_t)cands.size();
-  const int64_t kept = std::min(total, out_cap);
-
+  int64_t total = 0, kept = 0;
+  for (size_t wi = 0; wi < bitmap.size(); ++wi) {
+    uint64_t bits = bitmap[wi];
+    while (bits) {
+      const int64_t olin = ((int64_t)wi << 6) + __builtin_ctzll(bits);
+      bits &= bits - 1;
+      if (total < out_cap) {
+        out_coords[total * 3] = (int32_t)(olin / ohw);
+        out_coords[total * 3 + 1] = (int32_t)((olin % ohw) / ow);
+        out_coords[total * 3 + 2] = (int32_t)(olin % ow);
+      }
+      ++total;
+    }
+  }
+  kept = std::min(total, out_cap);
   for (int64_t o = kept; o < out_cap; ++o) {
     out_coords[o * 3] = out_coords[o * 3 + 1] = out_coords[o * 3 + 2] = -1;
     for (int64_t j = 0; j < k; ++j) conv_slots[o * k + j] = miss;
-  }
-  for (int64_t o = 0; o < kept; ++o) {
-    const int64_t olin = cands[o];
-    out_coords[o * 3] = (int32_t)(olin / ohw);
-    out_coords[o * 3 + 1] = (int32_t)((olin % ohw) / ow);
-    out_coords[o * 3 + 2] = (int32_t)(olin % ow);
   }
   // conv slots: for a fixed kernel offset the input ids are strictly
   // increasing over the sorted outputs -> two-pointer merge per offset;
@@ -512,10 +561,13 @@ int64_t down_plan(const int32_t* coords, int64_t v_cap,
 // documented there).  slots [vout, k] int32 row-major, miss encoded
 // as >= v_in.  The Pallas kernel consumes the rulebook itself; this
 // emits only the per-(tile, offset-group) metadata:
-//   bidx [t, g] int32         (window block index; miss pairs inherit
-//                              the previous hit pair's index so the
-//                              Pallas pipeline skips the re-DMA)
-//   hit  [t, g] int32         (0 miss, 1 narrow <=2 blocks, 2 wide)
+//   bidx [t, g, WIN_BLOCKS] int32  (window block index per block;
+//                              unused (tile, group, j) entries repeat
+//                              the previous tile's value in their
+//                              (g, j) column so the Pallas pipeline
+//                              skips the re-DMA; leading unused rows
+//                              take the column's tile-0 candidate)
+//   hit  [t, g] int32         (number of window blocks used, 0..6)
 //   cor  [3, cor_capacity] int32 ((out_row, in_slot, k); out_row ==
 //                              vout marks padding; entries ordered by
 //                              (tile, row, group, x) like the twin)
@@ -524,7 +576,7 @@ int64_t down_plan(const int32_t* coords, int64_t v_cap,
 int64_t banded_plan(const int32_t* slots, int64_t vout, int64_t k,
                     int64_t v_in, int64_t kx, int64_t cor_capacity,
                     int32_t* bidx, int32_t* hit, int32_t* cor) {
-  const int64_t M = 128, BLK = 256, WIN_BLOCKS = 4;
+  const int64_t M = 128, BLK = 128, WIN_BLOCKS = 6;
   const int64_t g = k / kx;
   const int64_t t = (vout + M - 1) / M;
   // table_pad(v_in) / BLK: padded feature-table blocks
@@ -538,49 +590,71 @@ int64_t banded_plan(const int32_t* slots, int64_t vout, int64_t k,
     cor[2 * cor_capacity + r] = 0;
   }
   int64_t cor_count = 0;
-  // miss pairs before the first hit pair inherit flat-pair-0's b0
-  // (numpy: b0_f[clip(last, 0)])
-  int64_t last_b0 = -1, b0_first = -1;
+  // per-(g, j) column state for the unused-entry fill: most recent
+  // USED candidate value, plus the column's tile-0 candidate for
+  // leading unused rows (numpy: cand[clip(last, 0), col])
+  std::vector<int32_t> last_cand(g * WIN_BLOCKS, -1);
+  std::vector<int32_t> cand0(g * WIN_BLOCKS, 0);
 
   std::vector<int32_t> lim_pair(g);
   for (int64_t ti = 0; ti < t; ++ti) {
     const int64_t row0 = ti * M;
     const int64_t rows = std::min(M, vout - row0);
-    // pass 1: per-group window base + hit class
+    // pass 1: per-group window base + block count.  One scan computes
+    // gmin AND gmax; when gmax is already inside the window (the
+    // overwhelmingly common case) no rescan or correction pass is
+    // needed for the group.
+    bool any_cor = false;
     for (int64_t gi = 0; gi < g; ++gi) {
-      int32_t gmin = big, gmax_inwin = -1;
+      int32_t gmin = big, gmax = -1;
       for (int64_t m = 0; m < rows; ++m) {
         const int32_t* row = slots + (row0 + m) * k + gi * kx;
         for (int64_t x = 0; x < kx; ++x) {
           const int32_t s = row[x];
-          if (s < v_in && s < gmin) gmin = s;
+          if (s < v_in) {
+            if (s < gmin) gmin = s;
+            if (s > gmax) gmax = s;
+          }
         }
       }
       int64_t b0 = gmin / BLK;
       if (b0 > b0_max) b0 = b0_max;
-      if (b0_first < 0) b0_first = b0;
       const int32_t lim = (int32_t)((b0 + WIN_BLOCKS) * BLK);
-      for (int64_t m = 0; m < rows; ++m) {
-        const int32_t* row = slots + (row0 + m) * k + gi * kx;
-        for (int64_t x = 0; x < kx; ++x) {
-          const int32_t s = row[x];
-          if (s < v_in && s < lim) {
-            const int32_t rv = s - (int32_t)(b0 * BLK);
-            if (rv > gmax_inwin) gmax_inwin = rv;
+      int32_t gmax_inwin;
+      if (gmax < lim) {
+        gmax_inwin = gmax >= 0 ? gmax - (int32_t)(b0 * BLK) : -1;
+      } else {
+        any_cor = true;
+        gmax_inwin = -1;
+        for (int64_t m = 0; m < rows; ++m) {
+          const int32_t* row = slots + (row0 + m) * k + gi * kx;
+          for (int64_t x = 0; x < kx; ++x) {
+            const int32_t s = row[x];
+            if (s < v_in && s < lim) {
+              const int32_t rv = s - (int32_t)(b0 * BLK);
+              if (rv > gmax_inwin) gmax_inwin = rv;
+            }
           }
         }
       }
       lim_pair[gi] = lim;
-      const int64_t flat = ti * g + gi;
-      if (gmax_inwin >= 0) {
-        hit[flat] = gmax_inwin < 2 * BLK ? 1 : 2;
-        bidx[flat] = (int32_t)b0;
-        last_b0 = b0;
-      } else {
-        hit[flat] = 0;
-        bidx[flat] = (int32_t)(last_b0 >= 0 ? last_b0 : b0_first);
+      const int64_t nblk = gmax_inwin >= 0 ? gmax_inwin / BLK + 1 : 0;
+      hit[ti * g + gi] = (int32_t)nblk;
+      for (int64_t j = 0; j < WIN_BLOCKS; ++j) {
+        const int64_t col = gi * WIN_BLOCKS + j;
+        const int32_t cand = (int32_t)(b0 + j);
+        if (ti == 0) cand0[col] = cand;
+        int32_t v;
+        if (j < nblk) {
+          v = cand;
+          last_cand[col] = cand;
+        } else {
+          v = last_cand[col] >= 0 ? last_cand[col] : cand0[col];
+        }
+        bidx[(ti * g + gi) * WIN_BLOCKS + j] = v;
       }
     }
+    if (!any_cor) continue;
     // pass 2: corrections in (row, group, x) order (twin parity)
     for (int64_t m = 0; m < rows; ++m) {
       const int32_t* row = slots + (row0 + m) * k;

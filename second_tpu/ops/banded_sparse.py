@@ -10,24 +10,25 @@ the gather ON the MXU:
   * Voxels are sorted by linearized coordinate (the SparseGrid
     contract), so for each kernel offset the neighbor-slot array is
     monotonic: 128 consecutive outputs read from a narrow WINDOW of the
-    feature table (p99 span < ~750 rows on KITTI-scale scenes).
+    feature table (at 128-row blocks the per-(tile, offset-group)
+    window needs 1 block ~60%, 2 blocks ~35% on KITTI-scale scenes).
   * Kernel grid: one step per tile of 128 output rows; all offset
     triples (dx = -1/0/+1 share a (dz, dy) and hence a window) are
-    unrolled in-kernel.  Per hit triple the kernel reads 256-row
-    window blocks of the table (two for "narrow" pairs — ~95%, spans
-    <= 256 — four for "wide") and gathers via
-    ``one_hot(slot - window_base) @ window`` MXU matmuls, then applies
-    the triple's weights with one [128, 3C] x [3C, Cout] matmul.
+    unrolled in-kernel.  Per offset-group the plan records how many
+    128-row window blocks the tile needs (``hit`` in 0..WIN_BLOCKS)
+    and the block index of EACH window block (``bidx [T, G, J]``);
+    unused (tile, group, j) entries repeat the previous tile's index
+    so the Pallas pipeline skips their DMA entirely.  The gather is
+    ``one_hot(slot - block_base) @ block`` MXU matmuls.
   * The kernel reads the RAW slot rulebook ([Vout, K] int32, rows =
     output rows, lanes = kernel offsets — the layout the host planner
     and the XLA path already produce) and rebases it in-kernel; the
-    only plan metadata is a per-(tile, offset-group) window index +
-    hit class [T, G].  Misses are encoded as ``v_in`` exactly, which
-    one-hot-matches the table's first zero padding row and contributes
-    nothing — no plan transposes, on host or device.
-  * The ~1% of (tile, triple) pairs whose span exceeds the widest
-    window ("outliers", sort-order discontinuities) fall back to a
-    capacity-bounded CSR pass: gather the affected (out, in, k)
+    only plan metadata is bidx/hit.  Misses are encoded as ``v_in``
+    exactly, which one-hot-matches the table's first zero padding row
+    and contributes nothing — no plan transposes, on host or device.
+  * The <1% of (tile, triple) pairs whose span exceeds the widest
+    window (WIN_BLOCKS*BLK rows; sort-order discontinuities) fall back
+    to a capacity-bounded CSR pass: gather the affected (out, in, k)
     entries row-wise, apply per-entry weights, scatter-add.  Overflow
     of the static correction capacity is counted, never silent.
 
@@ -50,8 +51,8 @@ TRANSPOSE plan (``transpose_rulebook``) mapping input rows to the
 consuming output rows.  The weight-gradient runs on a second Pallas
 kernel that re-uses the same window DMAs and accumulates
 ``gathered^T @ dout`` tiles in VMEM across the sequential grid.  CSR
-correction entries contribute to both grads through the same one-hot
-expansion as the forward pass.
+correction entries contribute to both grads through a per-offset
+masked-matmul pass.
 """
 
 import functools
@@ -62,9 +63,10 @@ import jax.numpy as jnp
 import numpy as np
 
 M = 128          # output rows per tile
-BLK = 256        # feature-table block size
-WIN_BLOCKS = 4   # max window = 4 blocks (1024 rows); "narrow" pairs
-                 # (~95%, spans <= 256) touch only the first 2
+BLK = 128        # feature-table window block size
+WIN_BLOCKS = 6   # max window = 6 blocks (768 rows, ~p99 of spans);
+                 # per-block DMAs are plan-gated, so a tile pays only
+                 # for the blocks its spans actually need
 
 
 class BandedPlan(NamedTuple):
@@ -75,8 +77,8 @@ class BandedPlan(NamedTuple):
     tracers)."""
 
     slots: jnp.ndarray     # [B*T, M, K] int32, miss == Vin exactly
-    bidx: jnp.ndarray      # [BT, G] int32 global window block index
-    hit: jnp.ndarray       # [BT, G] int32 0 miss / 1 narrow / 2 wide
+    bidx: jnp.ndarray      # [BT, G, J] int32 global window block index
+    hit: jnp.ndarray       # [BT, G] int32: number of blocks, 0..J
     cor_out: jnp.ndarray   # [B, R] int32 out row (Vout = pad/dump)
     cor_in: jnp.ndarray    # [B, R] int32 in slot (into padded table)
     cor_k: jnp.ndarray     # [B, R] int32 kernel offset index
@@ -99,8 +101,34 @@ def _grouping(K, kx):
 
 
 def table_pad(v):
-    """Padded feature-table length: room for the b0+3 window block."""
+    """Padded feature-table length: room for the b0+J-1 window block."""
     return (-(-v // BLK) + WIN_BLOCKS - 1) * BLK
+
+
+def _fill_unused_bidx_np(used, cand):
+    """used/cand: [T, G, J].  Unused entries inherit the previous
+    tile's value in their (g, j) column (the Pallas pipeline skips the
+    DMA when a buffer's block index repeats); leading unused rows take
+    the column's row-0 candidate."""
+    t = used.shape[0]
+    u = used.reshape(t, -1)
+    c = cand.reshape(t, -1)
+    idx = np.where(u, np.arange(t)[:, None], -1)
+    last = np.maximum.accumulate(idx, axis=0)
+    rows = np.clip(last, 0, None)
+    return np.take_along_axis(c, rows, axis=0).reshape(cand.shape)
+
+
+def _fill_unused_bidx_jnp(used, cand):
+    """jnp twin of :func:`_fill_unused_bidx_np` (columns = (b?, g, j)
+    flattened; the scan runs over the tile axis)."""
+    t = used.shape[0]
+    u = used.reshape(t, -1)
+    c = cand.reshape(t, -1)
+    idx = jnp.where(u, jnp.arange(t)[:, None], -1)
+    last = jax.lax.associative_scan(jnp.maximum, idx, axis=0)
+    rows = jnp.clip(last, 0)
+    return jnp.take_along_axis(c, rows, axis=0).reshape(cand.shape)
 
 
 def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
@@ -127,20 +155,21 @@ def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
     b0 = jnp.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)  # [B, T, G]
     rel = s4 - (b0 * BLK)[:, :, None, :, None]
     in_win = valid & (rel < WIN_BLOCKS * BLK)
-    any_hit = in_win.any(axis=(2, 4))
-    narrow = jnp.where(in_win, rel, -1).max(axis=(2, 4)) < 2 * BLK
-    hit = jnp.where(any_hit, jnp.where(narrow, 1, 2), 0)
+    relmax = jnp.where(in_win, rel, -1).max(axis=(2, 4))   # [B, T, G]
+    hit = jnp.where(relmax >= 0, relmax // BLK + 1, 0)
 
-    # fill miss pairs' block index with the previous hit pair's (the
-    # Pallas pipeline skips the DMA when the index repeats)
-    hit_f = hit.reshape(-1) > 0
-    b0_f = b0.reshape(-1)
-    idx = jnp.where(hit_f, jnp.arange(hit_f.shape[0]), -1)
-    last = jax.lax.associative_scan(jnp.maximum, idx)
-    bidx = jnp.where(hit_f, b0_f, b0_f[jnp.clip(last, 0)])
+    # per-(g, j) window block index; unused entries repeat the previous
+    # tile's so the Pallas pipeline skips the DMA
+    jarange = jnp.arange(WIN_BLOCKS, dtype=jnp.int32)
+    used = hit[..., None] > jarange                         # [B, T, G, J]
+    cand = b0[..., None].astype(jnp.int32) + jarange
+    bidx = _fill_unused_bidx_jnp(
+        used.reshape(b * t, g, WIN_BLOCKS),
+        cand.reshape(b * t, g, WIN_BLOCKS)).reshape(
+            b, t, g, WIN_BLOCKS)
     # per-batch table offset into the stacked [B*Vp, C] table
-    bidx = bidx.reshape(b, t, g) + (
-        jnp.arange(b, dtype=jnp.int32)[:, None, None] * (vp // BLK))
+    bidx = bidx + (jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+                   * (vp // BLK))
 
     # CSR corrections: valid slots outside their pair's window
     need = (valid & ~in_win).reshape(b, t * M * g * kx)
@@ -166,7 +195,7 @@ def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
 
     return BandedPlan(
         slots=s.reshape(b * t, M, k),
-        bidx=bidx.reshape(b * t, g).astype(jnp.int32),
+        bidx=bidx.reshape(b * t, g, WIN_BLOCKS).astype(jnp.int32),
         hit=hit.reshape(b * t, g).astype(jnp.int32),
         cor_out=cor_out, cor_in=cor_in, cor_k=cor_k,
         cor_count=cor_count,
@@ -180,43 +209,40 @@ def _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b):
     def kernel(*refs):
         bidx_ref, hit_ref, s_ref, w_ref = refs[:4]
         win_refs = refs[4:4 + g * WIN_BLOCKS]
-        out_ref, acc_ref = refs[4 + g * WIN_BLOCKS:]
+        out_ref, acc_ref, gth_ref = refs[4 + g * WIN_BLOCKS:]
         t = pl.program_id(0)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         iota = jax.lax.broadcasted_iota(jnp.int32, (M, BLK), 1)
         dn = (((1,), (0,)), ((), ()))
-        batch_blk = (t // t_per_b) * vp_blocks
 
         for gi in range(g):
-            wins4 = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
+            wins = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
 
-            def contrib(nblk, gi=gi, wins4=wins4):
-                # window base LOCAL to this example's table rows
-                base = (bidx_ref[t, gi] - batch_blk) * BLK
-                parts = []
-                for x in range(kx):
-                    col = gi * kx + x
-                    rel = s_ref[0, :, col:col + 1] - base   # [M, 1]
-                    gx = None
-                    for j in range(nblk):
-                        wj = wins4[j][:]
-                        ohm = (rel - j * BLK == iota).astype(wj.dtype)
-                        d = jax.lax.dot_general(
+            @pl.when(hit_ref[t, gi] > 0)
+            def _(gi=gi):
+                gth_ref[:] = jnp.zeros_like(gth_ref)
+
+            for j in range(WIN_BLOCKS):
+                @pl.when(hit_ref[t, gi] > j)
+                def _(gi=gi, j=j, wins=wins):
+                    # block's OWN base (bidx[t, gi, j] == b0 + j when
+                    # used), LOCAL to this example's table rows
+                    base = (bidx_ref[t, gi, j]
+                            - (t // t_per_b) * vp_blocks) * BLK
+                    wj = wins[j][:]
+                    for x in range(kx):
+                        col = gi * kx + x
+                        rel = s_ref[0, :, col:col + 1] - base   # [M, 1]
+                        ohm = (rel == iota).astype(wj.dtype)
+                        gth_ref[:, x * c:(x + 1) * c] += jax.lax.dot_general(
                             ohm, wj, dn,
                             preferred_element_type=jnp.float32)
-                        gx = d if gx is None else gx + d
-                    parts.append(gx.astype(wins4[0].dtype))
-                g3 = jnp.concatenate(parts, axis=1)
+
+            @pl.when(hit_ref[t, gi] > 0)
+            def _(gi=gi):
                 acc_ref[:] += jax.lax.dot(
-                    g3, w_ref[gi], preferred_element_type=jnp.float32)
-
-            @pl.when(hit_ref[t, gi] == 1)
-            def _(contrib=contrib):
-                contrib(2)
-
-            @pl.when(hit_ref[t, gi] == 2)
-            def _(contrib=contrib):
-                contrib(WIN_BLOCKS)
+                    gth_ref[:].astype(w_ref.dtype), w_ref[gi],
+                    preferred_element_type=jnp.float32)
 
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
@@ -231,7 +257,7 @@ def _banded_call_fused(table, slots, bidx, hit, wg, kx, g, vp_blocks,
                        t_per_b, out_dtype, interpret=False):
     """Fused-tile kernel: grid (B*T,), all offset-triples of a tile in
     ONE grid step.  table [B*Vp, C]; slots [BT, M, K] int32 (miss =
-    Vin); bidx/hit [BT, G]; wg [G, kx*C, Cout]."""
+    Vin); bidx [BT, G, J]; hit [BT, G]; wg [G, kx*C, Cout]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -241,7 +267,8 @@ def _banded_call_fused(table, slots, bidx, hit, wg, kx, g, vp_blocks,
 
     def win_spec(gi, j):
         return pl.BlockSpec(
-            (BLK, c), lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi] + j, 0),
+            (BLK, c),
+            lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi, j], 0),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -259,7 +286,8 @@ def _banded_call_fused(table, slots, bidx, hit, wg, kx, g, vp_blocks,
         out_specs=pl.BlockSpec((M, cout),
                                lambda ti, bi, hi: (ti, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((M, cout), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((M, cout), jnp.float32),
+                        pltpu.VMEM((M, kx * c), jnp.float32)],
     )
     return pl.pallas_call(
         _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b),
@@ -269,6 +297,24 @@ def _banded_call_fused(table, slots, bidx, hit, wg, kx, g, vp_blocks,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(bidx, hit, slots, wg, *([table] * (g * WIN_BLOCKS)))
+
+
+def _cor_contrib(table, plan, weights, vp, k, c, cout, dtype):
+    """[B, R, Cout] correction contributions: per-entry feat row times
+    W[cor_k], as K masked [R, C] @ [C, Cout] matmuls (no [R, K*C]
+    expansion buffer — that costs R*K*C*4 bytes of HBM traffic)."""
+    def one(args):
+        tab, ci, ck = args
+        rows = tab[jnp.clip(ci, 0, vp - 1)]              # [R, C]
+        contrib = jnp.zeros((rows.shape[0], cout), jnp.float32)
+        for kk in range(k):
+            sel = jnp.where((ck == kk)[:, None], rows, 0)
+            contrib += jax.lax.dot(
+                sel, weights[kk].astype(dtype),
+                preferred_element_type=jnp.float32)
+        return contrib
+
+    return jax.lax.map(one, (table, plan.cor_in, plan.cor_k))
 
 
 def _banded_apply(features, plan: BandedPlan, weights, interpret):
@@ -286,28 +332,19 @@ def _banded_apply(features, plan: BandedPlan, weights, interpret):
         interpret=interpret)
     out = out.reshape(b, t * M, cout)[:, :vout]
 
-    # CSR corrections for out-of-window entries.  Per-entry weight
-    # selection via a one-hot expansion [R, K*C] @ [K*C, Cout] (a
-    # per-entry W gather would move R x C x Cout of weight rows).
+    # CSR corrections for out-of-window entries
     r = plan.cor_out.shape[1]
     if r:
-        w_flat = weights.astype(dtype).reshape(k * c, cout)
+        contrib = _cor_contrib(table, plan, weights, vp, k, c, cout,
+                               dtype)
 
         def one(args):
-            tab, co, ci, ck, o = args
-            rows = tab[jnp.clip(ci, 0, vp - 1)]          # [R, C]
-            ohk = (ck[:, None] == jnp.arange(k)[None, :]).astype(dtype)
-            expanded = (ohk[:, :, None] * rows[:, None, :]).reshape(
-                r, k * c)
-            contrib = jax.lax.dot(
-                expanded, w_flat, preferred_element_type=jnp.float32)
+            co, cb, o = args
             return o.at[jnp.clip(co, 0, vout - 1)].add(
-                jnp.where((co < vout)[:, None], contrib, 0.0)
-                .astype(dtype),
+                jnp.where((co < vout)[:, None], cb, 0.0).astype(dtype),
                 mode="drop")
 
-        out = jax.lax.map(
-            one, (table, plan.cor_out, plan.cor_in, plan.cor_k, out))
+        out = jax.lax.map(one, (plan.cor_out, contrib, out))
 
     return out
 
@@ -319,6 +356,7 @@ def _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b):
         bidx_ref, hit_ref, s_ref, dout_ref = refs[:4]
         win_refs = refs[4:4 + g * WIN_BLOCKS]
         dw_ref = refs[4 + g * WIN_BLOCKS]
+        gth_ref = refs[4 + g * WIN_BLOCKS + 1]
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -327,39 +365,36 @@ def _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b):
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (M, BLK), 1)
         dn = (((1,), (0,)), ((), ()))
-        batch_blk = (t // t_per_b) * vp_blocks
 
         for gi in range(g):
-            wins4 = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
+            wins = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
 
-            def contrib(nblk, gi=gi, wins4=wins4):
-                base = (bidx_ref[t, gi] - batch_blk) * BLK
-                parts = []
-                for x in range(kx):
-                    col = gi * kx + x
-                    rel = s_ref[0, :, col:col + 1] - base
-                    gx = None
-                    for j in range(nblk):
-                        wj = wins4[j][:]
-                        ohm = (rel - j * BLK == iota).astype(wj.dtype)
-                        d = jax.lax.dot_general(
-                            ohm, wj, dn,
-                            preferred_element_type=jnp.float32)
-                        gx = d if gx is None else gx + d
-                    parts.append(gx.astype(wins4[0].dtype))
-                g3 = jnp.concatenate(parts, axis=1)  # [M, kx*C]
+            @pl.when(hit_ref[t, gi] > 0)
+            def _(gi=gi):
+                gth_ref[:] = jnp.zeros_like(gth_ref)
+
+            for j in range(WIN_BLOCKS):
+                @pl.when(hit_ref[t, gi] > j)
+                def _(gi=gi, j=j, wins=wins):
+                    base = (bidx_ref[t, gi, j]
+                            - (t // t_per_b) * vp_blocks) * BLK
+                    wj = wins[j][:]
+                    for x in range(kx):
+                        col = gi * kx + x
+                        rel = s_ref[0, :, col:col + 1] - base
+                        ohm = (rel == iota).astype(wj.dtype)
+                        gth_ref[:, x * c:(x + 1) * c] += (
+                            jax.lax.dot_general(
+                                ohm, wj, dn,
+                                preferred_element_type=jnp.float32))
+
+            @pl.when(hit_ref[t, gi] > 0)
+            def _(gi=gi):
                 # dW_g += gathered^T @ dout_tile
                 dw_ref[gi] += jax.lax.dot_general(
-                    g3, dout_ref[:], (((0,), (0,)), ((), ())),
+                    gth_ref[:].astype(dout_ref.dtype), dout_ref[:],
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-
-            @pl.when(hit_ref[t, gi] == 1)
-            def _(contrib=contrib):
-                contrib(2)
-
-            @pl.when(hit_ref[t, gi] == 2)
-            def _(contrib=contrib):
-                contrib(WIN_BLOCKS)
 
     return kernel
 
@@ -383,7 +418,8 @@ def _banded_dw_call(table, dout_rows, slots, bidx, hit, kx, g, cout,
 
     def win_spec(gi, j):
         return pl.BlockSpec(
-            (BLK, c), lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi] + j, 0),
+            (BLK, c),
+            lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi, j], 0),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -401,6 +437,7 @@ def _banded_dw_call(table, dout_rows, slots, bidx, hit, kx, g, cout,
         out_specs=pl.BlockSpec((g, kx * c, cout),
                                lambda ti, bi, hi: (0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((M, kx * c), jnp.float32)],
     )
     return pl.pallas_call(
         _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b),
@@ -433,22 +470,24 @@ def _banded_dw(features, dout, plan: BandedPlan, interpret):
     r = plan.cor_out.shape[1]
     if r:
         def one(args):
-            tab, dob, co, ci, ck = args
+            tab, dob, ci, ck, co = args
             rows = tab[jnp.clip(ci, 0, vp - 1)]          # [R, C]
             drows = jnp.where(
                 (co < vout)[:, None],
                 dob[jnp.clip(co, 0, vout - 1)], 0.0)     # [R, Cout]
-            ohk = (ck[:, None] == jnp.arange(k)[None, :]).astype(dtype)
-            expanded = (ohk[:, :, None] * rows[:, None, :]).reshape(
-                r, k * c)                                # [R, K*C]
-            return jax.lax.dot_general(
-                expanded, drows, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [K*C, Cout]
+            # per-offset masked outer products (no [R, K*C] expansion)
+            parts = []
+            for kk in range(k):
+                sel = jnp.where((ck == kk)[:, None], rows, 0)
+                parts.append(jax.lax.dot_general(
+                    sel, drows, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            return jnp.stack(parts)                      # [K, C, Cout]
 
         dw_cor = jax.lax.map(
             one, (table, dout_pad[:, :vout],
-                  plan.cor_out, plan.cor_in, plan.cor_k)).sum(0)
-        dw = dw + dw_cor.reshape(k, c, cout)
+                  plan.cor_in, plan.cor_k, plan.cor_out)).sum(0)
+        dw = dw + dw_cor
     return dw
 
 
@@ -561,8 +600,8 @@ def host_transpose_rulebook(slots, v_in, vin_rows=None):
 # Host-side banded planning.
 #
 # The kernel consumes the raw rulebook, so the host plan is only the
-# per-(tile, group) window index / hit class plus the correction list —
-# a few KB next to the rulebook the loader ships anyway.
+# per-(tile, group) window indices / block counts plus the correction
+# list — a few KB next to the rulebook the loader ships anyway.
 # ---------------------------------------------------------------------------
 
 
@@ -572,8 +611,10 @@ def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
     :func:`plan_from_host` assembles the device BandedPlan together
     with the rulebook):
 
-      bidx [T, G] int32         (window block index, no batch offset)
-      hit  [T, G] int32
+      bidx [T, G, J] int32      (window block index per block; unused
+                                 entries repeat the previous tile's so
+                                 the Pallas pipeline skips the re-DMA)
+      hit  [T, G] int32         (number of window blocks, 0..J)
       cor  [3, R] int32         ((out_row, in_slot, k); out_row ==
                                  Vout marks padding)
       cor_count [1] int32       (TRUE count, overflow observability)
@@ -606,15 +647,13 @@ def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
     b0 = np.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)
     rel = sk - (b0 * BLK)[:, None, :, None]
     in_win = valid & (rel < WIN_BLOCKS * BLK)
-    any_hit = in_win.any(axis=(1, 3))
-    narrow = np.where(in_win, rel, -1).max(axis=(1, 3)) < 2 * BLK
-    hit = np.where(any_hit, np.where(narrow, 1, 2), 0)
+    relmax = np.where(in_win, rel, -1).max(axis=(1, 3))
+    hit = np.where(relmax >= 0, relmax // BLK + 1, 0)
 
-    hit_f = hit.reshape(-1) > 0
-    b0_f = b0.reshape(-1)
-    idx = np.where(hit_f, np.arange(hit_f.size), -1)
-    last = np.maximum.accumulate(idx)
-    bidx = np.where(hit_f, b0_f, b0_f[np.clip(last, 0, None)])
+    jarange = np.arange(WIN_BLOCKS, dtype=np.int32)
+    used = hit[..., None] > jarange                 # [T, G, J]
+    cand = b0[..., None].astype(np.int32) + jarange
+    bidx = _fill_unused_bidx_np(used, cand)
 
     need = valid & ~in_win                          # [T, M, G, KX]
     cor_count = int(need.sum())
@@ -631,7 +670,7 @@ def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
         cor[1, :n] = sk.reshape(-1)[fl]
         cor[2, :n] = gk                             # (g, kx) flat == k
     return {
-        "bidx": bidx.reshape(t, g).astype(np.int32),
+        "bidx": bidx.astype(np.int32),
         "hit": hit.astype(np.int32),
         "cor": cor,
         "cor_count": np.array([cor_count], np.int32),
@@ -642,11 +681,11 @@ def plan_from_host(slots, bidx, hit, cor, cor_count, v_in, kx,
                    vout=None, found=None):
     """Assemble a BandedPlan from loader-stacked host arrays:
     slots [B, Vout, K] (the rulebook, any int dtype, miss >= v_in),
-    bidx/hit [B, T, G], cor [B, 3, R], cor_count [B, 1].
+    bidx [B, T, G, J], hit [B, T, G], cor [B, 3, R], cor_count [B, 1].
 
     found: optional [B, Vout, K] bool (device-built rulebooks whose
     miss slots are arbitrary searchsorted rows)."""
-    b, t, g = bidx.shape
+    b, t, g = hit.shape
     k = g * kx
     vp = table_pad(v_in)
     vout_rows = slots.shape[1]
@@ -661,10 +700,11 @@ def plan_from_host(slots, bidx, hit, cor, cor_count, v_in, kx,
         s = jnp.concatenate(
             [s, jnp.full((b, pad_rows, k), v_in, jnp.int32)], axis=1)
     bidx = bidx.astype(jnp.int32) + (
-        jnp.arange(b, dtype=jnp.int32)[:, None, None] * (vp // BLK))
+        jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+        * (vp // BLK))
     return BandedPlan(
         slots=s.reshape(b * t, M, k),
-        bidx=bidx.reshape(b * t, g),
+        bidx=bidx.reshape(b * t, g, WIN_BLOCKS),
         hit=hit.astype(jnp.int32).reshape(b * t, g),
         cor_out=cor[:, 0, :].astype(jnp.int32),
         cor_in=cor[:, 1, :].astype(jnp.int32),
