@@ -217,6 +217,36 @@ def test_sharded_train_step_8dev(setup):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2 * lr0)
 
 
+def test_sharded_eval_parity_8dev(setup):
+    """The 8-device sharded eval/predict program must produce the SAME
+    detections as the single-device program on the same batch (decode +
+    NMS are per-sample; dp sharding must not change them)."""
+    from second_tpu.parallel import make_mesh, put_sharded
+
+    cfg, parts, ex = setup
+    assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+    mesh = make_mesh()
+    net, spec = parts["net"], parts["spec"]
+    tx, _, _ = opt_builder.build(cfg.train_config.optimizer, total_step=100)
+    variables = net.init(
+        jax.random.PRNGKey(0), ex["voxels"], ex["num_points"],
+        ex["coordinates"])
+    state = TrainState.create(variables, tx)
+    ex8_host = {k: np.asarray(jnp.concatenate([v] * 4, axis=0))
+                for k, v in ex.items()}
+    ex8 = put_sharded({k: jnp.asarray(v) for k, v in ex8_host.items()},
+                      mesh)
+    dets_m = jax.tree_util.tree_map(
+        np.asarray, make_eval_step(net, spec, mesh=mesh)(state, ex8))
+    dets_1 = jax.tree_util.tree_map(
+        np.asarray, make_eval_step(net, spec)(state, ex8_host))
+    for key in ("box3d_lidar", "scores", "label_preds"):
+        np.testing.assert_allclose(
+            np.asarray(dets_m[key], np.float32),
+            np.asarray(dets_1[key], np.float32),
+            rtol=1e-4, atol=1e-4, err_msg=key)
+
+
 def test_checkpoint_roundtrip(tmp_path, setup):
     cfg, parts, ex = setup
     net = parts["net"]
