@@ -25,7 +25,8 @@ def build(input_reader_config: schema.InputReader,
           device_voxelize=False,
           quantize_points=False,
           compact_targets=None,
-          banded_plans=False):
+          banded_plans=False,
+          banded_bwd=False):
     """device_voxelize: ship the augmented point cloud instead of the
     padded voxel buffer; the jitted step voxelizes on device (PP-family
     only — ignored when the sparse middle's host planner is active).
@@ -114,6 +115,7 @@ def build(input_reader_config: schema.InputReader,
         anchor_cache=anchor_cache,
         sparse_plan_scales=sparse_plan_scales,
         sparse_plan_banded=banded_plans and sparse_plan_scales is not None,
+        sparse_plan_banded_bwd=banded_bwd and training,
         emit_points=(
             POINTS_BUFFER
             if device_voxelize and sparse_plan_scales is None else 0),

@@ -101,9 +101,9 @@ def build_network(config, measure_time=False, compute_dtype=None,
     full pipeline config sets train_config.enable_mixed_precision (the
     TPU-native stand-in for the reference's apex fp16, train.py:216-227).
 
-    use_banded: sparse-middle inference via the banded one-hot
-    gather-GEMM Pallas kernel (ops.banded_sparse); ignored by dense
-    middles and by the training path.
+    use_banded: sparse-middle convs via the banded one-hot gather-GEMM
+    Pallas kernels (ops.banded_sparse) — inference AND training (the
+    kernels define a custom VJP); ignored by dense middles.
     """
     if isinstance(config, schema.TrainEvalPipelineConfig):
         model_cfg = config.model.second

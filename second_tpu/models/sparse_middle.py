@@ -45,9 +45,15 @@ def _out_capacity(cur_cap, factor):
 
 
 def _down_out_shape(shape, kernel, stride, pad):
-    return tuple(
+    out = tuple(
         (shape[a] + 2 * pad[a] - kernel[a]) // stride[a] + 1
         for a in range(3))
+    if any(s <= 0 for s in out):
+        raise ValueError(
+            f"strided sparse conv collapses grid {tuple(shape)} -> {out} "
+            f"(kernel {kernel}, stride {stride}, pad {pad}): the input "
+            "grid is too shallow for this topology")
+    return out
 
 
 def plan_scales(middle_class_name, output_shape, max_voxels):

@@ -118,8 +118,16 @@ def train(config_path,
           num_workers=None,
           loader_mode="auto",
           device_voxelize="auto",
-          quantize_points=True):
+          quantize_points=True,
+          use_banded="auto"):
     """Train a detector with the given pipeline config.
+
+    use_banded: "auto" (default) trains sparse middles through the
+    banded MXU-gather kernels on TPU (ops.banded_sparse —
+    differentiable via custom VJP; loader workers emit the banded
+    window metadata and the strided-conv transpose plans next to the
+    rulebooks). False forces the XLA gather path (exact-parity
+    reference numerics).
 
     device_voxelize: "auto" (default) ships the augmented POINTS and
     voxelizes inside the jitted step for models without a sparse host
@@ -156,7 +164,9 @@ def train(config_path,
     if result_path is None:
         result_path = model_dir / "results"
 
-    cfg, parts = _build_all(config_path)
+    if use_banded == "auto":
+        use_banded = _auto_banded(load_pipeline_config(config_path))
+    cfg, parts = _build_all(config_path, use_banded=use_banded)
     shutil.copyfile(config_path, model_dir / "pipeline.config")
     net, spec = parts["net"], parts["spec"]
     train_cfg = cfg.train_config
@@ -172,13 +182,15 @@ def train(config_path,
         target_assigner=parts["target_assigner"],
         anchor_cache=parts["anchor_cache"],
         device_voxelize=device_voxelize,
-        quantize_points=device_voxelize and quantize_points)
+        quantize_points=device_voxelize and quantize_points,
+        banded_plans=use_banded, banded_bwd=use_banded)
     eval_dataset = dataset_builder.build(
         cfg.eval_input_reader, parts["model_cfg"], training=False,
         voxel_generator=parts["voxel_generator"],
         target_assigner=parts["target_assigner"],
         anchor_cache=parts["anchor_cache"],
-        device_voxelize=device_voxelize)
+        device_voxelize=device_voxelize,
+        banded_plans=use_banded)
     voxelizer_fn = None
     flat_pp = None
     if device_voxelize:

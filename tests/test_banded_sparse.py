@@ -152,8 +152,12 @@ def test_banded_middle_matches_gather_path():
 
     rng = np.random.RandomState(7)
     v, c = 600, 16
-    output_shape = (1, 20, 64, 64, c)
-    shape = (21, 64, 64)
+    # z=40 (padded 41) like the real car.fhd grid: the FHD topology's
+    # four z-downsamples need it (41->21->11->5->2); a shallower z
+    # collapses the final dense z-dim to 0 and the output asserts
+    # would compare empty arrays
+    output_shape = (1, 40, 64, 64, c)
+    shape = (41, 64, 64)
     sentinel = shape[0] * shape[1] * shape[2]
     n_active = 400
     lin = np.sort(rng.choice(sentinel, size=n_active, replace=False))
@@ -193,10 +197,35 @@ def test_banded_middle_matches_gather_path():
     np.testing.assert_allclose(
         np.asarray(out_hb), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
-    # training ignores use_banded (the kernel has no VJP)
-    out_train, _ = mid_banded.apply(
-        variables, fj, cj, train=True, mutable=["batch_stats",
-                                                "intermediates"])
+    # training runs through the banded custom VJP: middle-level grads
+    # must match jax.grad of the XLA gather path (same weights, same
+    # rulebooks); host plans include the strided transpose plans
+    plan_bwd = sm.build_host_plan(coords, scales, banded=True,
+                                  banded_cor_capacity=2048,
+                                  banded_bwd=True)
+    assert any(k.startswith("plan_btcv") for k in plan_bwd), (
+        "banded_bwd=True must emit strided transpose plans")
+    plan_bwd = {k: jnp.asarray(np.asarray(x))[None]
+                for k, x in plan_bwd.items()}
+
+    def loss_banded(params, f):
+        out, _ = mid_banded.apply(
+            {**variables, "params": params}, f, cj, plan=plan_bwd,
+            train=True, mutable=["batch_stats", "intermediates"])
+        return (out ** 2).sum()
+
+    def loss_ref(params, f):
+        out, _ = mid.apply(
+            {**variables, "params": params}, f, cj,
+            train=True, mutable=["batch_stats"])
+        return (out ** 2).sum()
+
+    g_b = jax.grad(loss_banded, argnums=(0, 1))(variables["params"], fj)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(variables["params"], fj)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3),
+        g_b, g_r)
 
 
 def test_banded_subm_grads_match_gather():

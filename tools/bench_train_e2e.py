@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 4)
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--tree", default="", help="reuse an existing tree")
+    ap.add_argument("--banded", action="store_true",
+                    help="train sparse middles on the banded "
+                         "MXU-gather kernels (custom VJP)")
     args = ap.parse_args()
 
     if args.tree:
@@ -103,7 +106,7 @@ def main():
     cfg.train_input_reader.preprocess.database_sampler.\
         database_info_path = str(root / "kitti_dbinfos_train.pkl")
 
-    parts = build_network(cfg.model.second)
+    parts = build_network(cfg.model.second, use_banded=args.banded)
     net, spec = parts["net"], parts["spec"]
     from second_tpu.models.sparse_middle import SPARSE_MIDDLE_NAMES
     device_voxelize = (
@@ -115,7 +118,8 @@ def main():
         target_assigner=parts["target_assigner"],
         anchor_cache=parts["anchor_cache"],
         device_voxelize=device_voxelize,
-        quantize_points=device_voxelize)
+        quantize_points=device_voxelize,
+        banded_plans=args.banded, banded_bwd=args.banded)
     print(f"device_voxelize={device_voxelize} "
           f"(int16 points + compact targets)")
 
@@ -149,11 +153,14 @@ def main():
             (batch,) + parts["anchor_cache"]["anchors"].shape))},
         mesh)["anchors"]
 
+    h2d_bytes = [0]
+
     def _prep(example):
         host = example_convert(example)
         host.pop("anchors", None)
         if "importance" in host and np.all(host["importance"] == 1.0):
             host.pop("importance")
+        h2d_bytes[0] = sum(np.asarray(v).nbytes for v in host.values())
         dev = put_sharded(
             {k: jnp.asarray(v) for k, v in host.items()}, mesh)
         dev["anchors"] = anchors_dev
@@ -211,6 +218,26 @@ def main():
     for k, v in avg.items():
         print(f"  avg {k}: {v*1e3:.2f} ms")
     print(f"  loss={float(np.asarray(metrics['loss'])):.3f}")
+
+    # H2D model: per-batch bytes / measured link bandwidth.  This is
+    # the number that decides whether a host keeps the chip fed — on
+    # the tunneled dev rig the link is ~0.03 GB/s and dominates; on a
+    # PCIe v4 host (~20 GB/s) the same payload is sub-ms and the loop
+    # is compute-bound at the device train_step rate.
+    batch_mb = h2d_bytes[0] / 1e6
+    probe = np.zeros((64, 1 << 20), np.uint8)          # 64 MB
+    _ = np.asarray(jax.device_put(probe))              # warm path
+    t0 = time.perf_counter()
+    for _ in range(3):
+        buf = jax.device_put(probe)
+        _ = np.asarray(buf[:1, :1])
+    link_gbs = 3 * probe.nbytes / (time.perf_counter() - t0) / 1e9
+    h2d_ms = batch_mb / 1e3 / link_gbs * 1e3
+    ts = avg.get("train_step", 0.0) * 1e3
+    bound = "H2D-bound" if h2d_ms > ts else "compute-bound"
+    print(f"  h2d model: {batch_mb:.1f} MB/batch / {link_gbs:.3f} GB/s "
+          f"= {h2d_ms:.1f} ms vs train_step {ts:.1f} ms -> {bound}; "
+          f"at PCIe 20 GB/s: {batch_mb / 20:.2f} ms")
 
 
 if __name__ == "__main__":

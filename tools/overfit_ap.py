@@ -50,6 +50,17 @@ sys.path.insert(0, str(REPO / "tests"))
 
 
 def run(steps=1000, frames=8, out=None, seed=3, json_path=None):
+    import os
+
+    # honor an explicit CPU request like the train CLI does
+    # (train/__main__.py:589): the axon TPU plugin overrides the
+    # JAX_PLATFORMS env var at interpreter start, and this tool calls
+    # train() directly, bypassing the CLI's own honor block
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import numpy as np  # noqa: F401
 
     from kitti_fixture import build_kitti_dir
