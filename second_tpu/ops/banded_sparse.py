@@ -207,6 +207,10 @@ def _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b):
     from jax.experimental import pallas as pl
 
     def kernel(*refs):
+        # bidx/hit are FLAT 1-D scalar-prefetch arrays: SMEM tiles the
+        # last two dims to (8, 128) multiples, so a [BT, G, J] layout
+        # would allocate BT*16*128 words (>1 MB at fhd tile counts) —
+        # flat costs BT*G*J words exactly.
         bidx_ref, hit_ref, s_ref, w_ref = refs[:4]
         win_refs = refs[4:4 + g * WIN_BLOCKS]
         out_ref, acc_ref, gth_ref = refs[4 + g * WIN_BLOCKS:]
@@ -218,16 +222,16 @@ def _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b):
         for gi in range(g):
             wins = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
 
-            @pl.when(hit_ref[t, gi] > 0)
+            @pl.when(hit_ref[t * g + gi] > 0)
             def _(gi=gi):
                 gth_ref[:] = jnp.zeros_like(gth_ref)
 
             for j in range(WIN_BLOCKS):
-                @pl.when(hit_ref[t, gi] > j)
+                @pl.when(hit_ref[t * g + gi] > j)
                 def _(gi=gi, j=j, wins=wins):
                     # block's OWN base (bidx[t, gi, j] == b0 + j when
                     # used), LOCAL to this example's table rows
-                    base = (bidx_ref[t, gi, j]
+                    base = (bidx_ref[(t * g + gi) * WIN_BLOCKS + j]
                             - (t // t_per_b) * vp_blocks) * BLK
                     wj = wins[j][:]
                     for x in range(kx):
@@ -238,7 +242,7 @@ def _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b):
                             ohm, wj, dn,
                             preferred_element_type=jnp.float32)
 
-            @pl.when(hit_ref[t, gi] > 0)
+            @pl.when(hit_ref[t * g + gi] > 0)
             def _(gi=gi):
                 acc_ref[:] += jax.lax.dot(
                     gth_ref[:].astype(w_ref.dtype), w_ref[gi],
@@ -268,11 +272,12 @@ def _banded_call_fused(table, slots, bidx, hit, wg, kx, g, vp_blocks,
     def win_spec(gi, j):
         return pl.BlockSpec(
             (BLK, c),
-            lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi, j], 0),
+            lambda ti, bi, hi, gi=gi, j=j: (
+                bi[(ti * g + gi) * WIN_BLOCKS + j], 0),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,      # bidx, hit
+        num_scalar_prefetch=2,      # bidx, hit (flat 1-D: see kernel)
         grid=(bt,),
         in_specs=[
             pl.BlockSpec((1, M, k),
@@ -296,7 +301,8 @@ def _banded_call_fused(table, slots, bidx, hit, wg, kx, g, vp_blocks,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(bidx, hit, slots, wg, *([table] * (g * WIN_BLOCKS)))
+    )(bidx.reshape(-1), hit.reshape(-1), slots, wg,
+      *([table] * (g * WIN_BLOCKS)))
 
 
 def _cor_contrib(table, plan, weights, vp, k, c, cout, dtype):
@@ -369,14 +375,14 @@ def _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b):
         for gi in range(g):
             wins = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
 
-            @pl.when(hit_ref[t, gi] > 0)
+            @pl.when(hit_ref[t * g + gi] > 0)
             def _(gi=gi):
                 gth_ref[:] = jnp.zeros_like(gth_ref)
 
             for j in range(WIN_BLOCKS):
-                @pl.when(hit_ref[t, gi] > j)
+                @pl.when(hit_ref[t * g + gi] > j)
                 def _(gi=gi, j=j, wins=wins):
-                    base = (bidx_ref[t, gi, j]
+                    base = (bidx_ref[(t * g + gi) * WIN_BLOCKS + j]
                             - (t // t_per_b) * vp_blocks) * BLK
                     wj = wins[j][:]
                     for x in range(kx):
@@ -388,7 +394,7 @@ def _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b):
                                 ohm, wj, dn,
                                 preferred_element_type=jnp.float32))
 
-            @pl.when(hit_ref[t, gi] > 0)
+            @pl.when(hit_ref[t * g + gi] > 0)
             def _(gi=gi):
                 # dW_g += gathered^T @ dout_tile
                 dw_ref[gi] += jax.lax.dot_general(
@@ -419,11 +425,12 @@ def _banded_dw_call(table, dout_rows, slots, bidx, hit, kx, g, cout,
     def win_spec(gi, j):
         return pl.BlockSpec(
             (BLK, c),
-            lambda ti, bi, hi, gi=gi, j=j: (bi[ti, gi, j], 0),
+            lambda ti, bi, hi, gi=gi, j=j: (
+                bi[(ti * g + gi) * WIN_BLOCKS + j], 0),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,      # bidx, hit
+        num_scalar_prefetch=2,      # bidx, hit (flat 1-D: see kernel)
         grid=(bt,),
         in_specs=[
             pl.BlockSpec((1, M, k),
@@ -446,7 +453,8 @@ def _banded_dw_call(table, dout_rows, slots, bidx, hit, kx, g, cout,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(bidx, hit, slots, dout_rows, *([table] * (g * WIN_BLOCKS)))
+    )(bidx.reshape(-1), hit.reshape(-1), slots, dout_rows,
+      *([table] * (g * WIN_BLOCKS)))
 
 
 def _banded_dw(features, dout, plan: BandedPlan, interpret):
