@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Microbenchmark the banded sparse-conv kernel layer by layer.
+
+Times, on the real chip:
+  * peak dense bf16 matmul (speed-of-light reference)
+  * each distinct (V_in, V_out, C_in, C_out) conv shape in SpMiddleFHD,
+    with its REAL plan from the host planner over a synthetic KITTI
+    scene (so hit/correction statistics are realistic)
+
+Usage: python tools/bench_banded.py [--iters 30]
+"""
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from second_tpu.data.synthetic import make_kitti_scene
+from second_tpu.data.voxelizer import VoxelGenerator
+from second_tpu.models import sparse_middle as sm
+from second_tpu.ops import banded_sparse, sparse
+
+
+def timeit(fn, iters):
+    r = fn()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def peak_matmul(iters):
+    for n, c in ((4096, jnp.bfloat16), (8192, jnp.bfloat16)):
+        a = jnp.ones((n, n), c)
+        f = jax.jit(lambda a: a @ a)
+        ms = timeit(lambda: f(a), iters)
+        tf = 2 * n ** 3 / (ms * 1e-3) / 1e12
+        print(f"dense {n}x{n} {c.__name__}: {ms:.3f} ms = {tf:.1f} TF/s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    print(f"backend: {jax.default_backend()}, {jax.devices()}")
+    peak_matmul(args.iters)
+
+    V = 17000
+    gen = VoxelGenerator(
+        voxel_size=[0.05, 0.05, 0.1],
+        point_cloud_range=[0, -40, -3, 70.4, 40, 1],
+        max_num_points=5, max_voxels=V)
+    rng = np.random.RandomState(0)
+    points, _, _ = make_kitti_scene(rng)
+    res = gen.generate_multi_gpu(points, max_voxels=V)
+    n = int(res["voxel_num"])
+    coords = np.full((V, 3), -1, np.int32)
+    coords[:n] = res["coordinates"][:n]
+    scales = sm.plan_scales(
+        "SpMiddleFHD", [1] + gen.grid_size[::-1].tolist() + [16], V)
+    d0, h0, w0 = scales[0]["shape"]
+    lin = np.where(
+        coords[:, 0] >= 0,
+        (coords[:, 0].astype(np.int64) * h0 + coords[:, 1]) * w0
+        + coords[:, 2], d0 * h0 * w0)
+    order = np.argsort(lin, kind="stable")
+    coords = coords[order]
+
+    t0 = time.perf_counter()
+    plan = sm.build_host_plan(coords, scales, banded=True)
+    print(f"host plan: {(time.perf_counter() - t0) * 1e3:.0f} ms, "
+          f"{sum(v.nbytes for v in plan.values()) / 1e6:.1f} MB")
+
+    # channel schedule per scale for FHD: in=16 out=16/32; then 32/64...
+    chans = [(16, 16), (32, 32), (64, 64), (64, 64), (64, 64)]
+    key = jax.random.PRNGKey(0)
+    total_subm = 0.0
+    total_down = 0.0
+    for i, sc in enumerate(scales):
+        v_in = sc["in_cap"]
+        cin, cout = chans[min(i, len(chans) - 1)]
+        n_subm = sum(1 for op in sm.FHD_TOPOLOGY
+                     if op[0] == "subm")  # not per-scale; recompute below
+        groups = sm._group_topology(sm.FHD_TOPOLOGY)
+        n_subm = sum(1 for op in groups[i] if op[0] == "subm")
+        if f"plan_subm{i}" in plan:
+            slots = plan[f"plan_subm{i}"].astype(np.int32)
+            bp = banded_sparse.plan_from_host(
+                jnp.asarray(slots)[None],
+                jnp.asarray(plan[f"plan_bsub{i}_bidx"])[None],
+                jnp.asarray(plan[f"plan_bsub{i}_hit"])[None],
+                jnp.asarray(plan[f"plan_bsub{i}_cor"])[None],
+                jnp.asarray(plan[f"plan_bsub{i}_cor_count"])[None],
+                v_in=v_in, kx=3)
+            hit = np.asarray(plan[f"plan_bsub{i}_hit"])
+            feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
+            w = jax.random.normal(key, (27, cin, cout), jnp.bfloat16)
+            f = jax.jit(lambda ft, wt, bp=bp: banded_sparse.banded_conv(
+                ft, bp, wt))
+            ms = timeit(lambda: f(feats, w), args.iters)
+            t = -(-v_in // banded_sparse.M)
+            gmm = (hit.sum() * 3 * banded_sparse.M * banded_sparse.BLK
+                   * cin * 2)
+            cmm = t * 9 * banded_sparse.M * 3 * cin * cout * 2
+            tf = (gmm + cmm) / (ms * 1e-3) / 1e12
+            print(f"scale{i} subm V={v_in} C={cin}->{cout} T={t}: "
+                  f"{ms:.3f} ms x{n_subm} ({tf:.1f} TF/s, "
+                  f"avg hit={hit.mean():.2f}, "
+                  f"cor={int(plan[f'plan_bsub{i}_cor_count'][0])})")
+            total_subm += ms * n_subm
+        if f"plan_conv{i}" in plan:
+            v_out = sc["out_cap"]
+            kern = sc["down"][0]
+            kx = kern[2]
+            k = int(np.prod(kern))
+            slots = plan[f"plan_conv{i}"].astype(np.int32)
+            bp = banded_sparse.plan_from_host(
+                jnp.asarray(slots)[None],
+                jnp.asarray(plan[f"plan_bconv{i}_bidx"])[None],
+                jnp.asarray(plan[f"plan_bconv{i}_hit"])[None],
+                jnp.asarray(plan[f"plan_bconv{i}_cor"])[None],
+                jnp.asarray(plan[f"plan_bconv{i}_cor_count"])[None],
+                v_in=v_in, kx=kx, vout=v_out)
+            cout_d = chans[min(i + 1, len(chans) - 1)][0]
+            feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
+            w = jax.random.normal(key, (k, cin, cout_d), jnp.bfloat16)
+            f = jax.jit(lambda ft, wt, bp=bp: banded_sparse.banded_conv(
+                ft, bp, wt))
+            ms = timeit(lambda: f(feats, w), args.iters)
+            print(f"scale{i} down V={v_in}->{v_out} C={cin}->{cout_d} "
+                  f"K={k}: {ms:.3f} ms "
+                  f"(cor={int(plan[f'plan_bconv{i}_cor_count'][0])})")
+            total_down += ms
+    print(f"TOTAL subm {total_subm:.2f} ms + down {total_down:.2f} ms "
+          f"= {total_subm + total_down:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
