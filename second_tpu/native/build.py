@@ -40,3 +40,28 @@ def lib_path():
             _failed = True
             return None
     return str(_LIB)
+
+
+def load_lib():
+    """ctypes-load the library, rebuilding once if a stale artifact
+    (e.g. built with -march=native on another machine) fails to load.
+    Returns the CDLL or None; callers keep their numpy fallbacks."""
+    import ctypes
+
+    path = lib_path()
+    if path is None:
+        return None
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
+        try:
+            Path(path).unlink()
+        except OSError:
+            return None
+        path = lib_path()
+        if path is None:
+            return None
+        try:
+            return ctypes.CDLL(path)
+        except OSError:
+            return None

@@ -5,7 +5,7 @@ import ctypes
 
 import numpy as np
 
-from .build import lib_path
+from .build import load_lib
 
 _lib = None
 _tried = False
@@ -16,10 +16,9 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    path = lib_path()
-    if path is None:
+    lib = load_lib()
+    if lib is None:
         return None
-    lib = ctypes.CDLL(path)
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)

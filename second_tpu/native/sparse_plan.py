@@ -10,7 +10,7 @@ import ctypes
 
 import numpy as np
 
-from .build import lib_path
+from .build import load_lib
 
 _lib = None
 _tried = False
@@ -21,10 +21,9 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    path = lib_path()
-    if path is None:
+    lib = load_lib()
+    if lib is None:
         return None
-    lib = ctypes.CDLL(path)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64 = ctypes.c_int64
     lib.subm_plan.argtypes = [
@@ -35,7 +34,7 @@ def _load():
         i32p, i64, i64, i32p, i32p]
     lib.down_plan.restype = i64
     lib.banded_plan.argtypes = [
-        i32p, i64, i64, i64, i64, i64, i32p, i32p, i32p]
+        i32p, i64, i64, i64, i64, i64, i64, i64, i32p, i32p]
     lib.banded_plan.restype = i64
     lib.transpose_rulebook.argtypes = [
         i32p, i64, i64, i64, i64, i32p]
@@ -85,26 +84,23 @@ def down_plan(coords, shape, kernel, stride, padding, offsets, out_cap):
     return out_coords, conv_slots, int(total)
 
 
-def banded_plan(slots, v_in, kx, cor_capacity):
+def banded_plan(slots, v_in, kc, cor_capacity, j, p):
     """Banded gather-plan metadata for one rulebook (C++ twin of
-    ops.banded_sparse._host_banded_arrays_np; same dict layout)."""
+    ops.banded_sparse._host_banded_arrays_np; same dict layout).
+    kc = offsets per cluster; j = windows per (tile, cluster);
+    p = lane-pack factor (ops.banded_sparse.pack_factor)."""
     lib = _load()
     slots = np.ascontiguousarray(slots, np.int32)
     vout, k = slots.shape
-    m, g = 128, k // kx
+    m, g = 128, k // kc
     t = -(-vout // m)
-    # WIN_BLOCKS must match ops.banded_sparse / second_native.cpp
-    from ..ops.banded_sparse import WIN_BLOCKS
-
-    bidx = np.empty((t, g, WIN_BLOCKS), np.int32)
-    hit = np.empty((t, g), np.int32)
+    b0 = np.empty((t, g, int(j)), np.int32)
     cor = np.empty((3, cor_capacity), np.int32)
     count = lib.banded_plan(
-        _ip(slots), vout, k, int(v_in), int(kx), int(cor_capacity),
-        _ip(bidx), _ip(hit), _ip(cor))
+        _ip(slots), vout, k, int(v_in), int(kc), int(cor_capacity),
+        int(j), int(p), _ip(b0), _ip(cor))
     return {
-        "bidx": bidx,
-        "hit": hit,
+        "b0": b0,
         "cor": cor,
         "cor_count": np.array([count], np.int32),
     }

@@ -4,7 +4,7 @@ import ctypes
 
 import numpy as np
 
-from .build import lib_path
+from .build import load_lib
 
 _lib = None
 _tried = False
@@ -15,10 +15,9 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    path = lib_path()
-    if path is None:
+    lib = load_lib()
+    if lib is None:
         return None
-    lib = ctypes.CDLL(path)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.points_to_voxel.restype = ctypes.c_int64

@@ -76,57 +76,55 @@ def main():
     print(f"host plan: {(time.perf_counter() - t0) * 1e3:.0f} ms, "
           f"{sum(v.nbytes for v in plan.values()) / 1e6:.1f} MB")
 
-    # channel schedule per scale for FHD: in=16 out=16/32; then 32/64...
-    chans = [(16, 16), (32, 32), (64, 64), (64, 64), (64, 64)]
     key = jax.random.PRNGKey(0)
     total_subm = 0.0
     total_down = 0.0
+    groups = sm._group_topology(sm.FHD_TOPOLOGY)
     for i, sc in enumerate(scales):
         v_in = sc["in_cap"]
-        cin, cout = chans[min(i, len(chans) - 1)]
-        n_subm = sum(1 for op in sm.FHD_TOPOLOGY
-                     if op[0] == "subm")  # not per-scale; recompute below
-        groups = sm._group_topology(sm.FHD_TOPOLOGY)
         n_subm = sum(1 for op in groups[i] if op[0] == "subm")
         if f"plan_subm{i}" in plan:
+            cin = sc["subm_widths"][0]
+            cout = next(op[1] for op in groups[i] if op[0] == "subm")
+            p = banded_sparse.pack_factor(cin)
+            kc = banded_sparse.choose_kc((3, 3, 3), cin)
             slots = plan[f"plan_subm{i}"].astype(np.int32)
             bp = banded_sparse.plan_from_host(
                 jnp.asarray(slots)[None],
-                jnp.asarray(plan[f"plan_bsub{i}_bidx"])[None],
-                jnp.asarray(plan[f"plan_bsub{i}_hit"])[None],
-                jnp.asarray(plan[f"plan_bsub{i}_cor"])[None],
-                jnp.asarray(plan[f"plan_bsub{i}_cor_count"])[None],
-                v_in=v_in, kx=3)
-            hit = np.asarray(plan[f"plan_bsub{i}_hit"])
+                jnp.asarray(plan[f"plan_bsub{i}_p{p}_b0"])[None],
+                jnp.asarray(plan[f"plan_bsub{i}_p{p}_cor"])[None],
+                jnp.asarray(plan[f"plan_bsub{i}_p{p}_cor_count"])[None],
+                v_in=v_in, kc=kc, c=cin)
             feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
             w = jax.random.normal(key, (27, cin, cout), jnp.bfloat16)
             f = jax.jit(lambda ft, wt, bp=bp: banded_sparse.banded_conv(
                 ft, bp, wt))
             ms = timeit(lambda: f(feats, w), args.iters)
             t = -(-v_in // banded_sparse.M)
-            gmm = (hit.sum() * 3 * banded_sparse.M * banded_sparse.BLK
-                   * cin * 2)
-            cmm = t * 9 * banded_sparse.M * 3 * cin * cout * 2
+            j = bp.shape[-2]
+            gmm = (t * 27 // kc * j * kc * banded_sparse.M
+                   * banded_sparse.BLK * banded_sparse.BLK * 2)
+            cmm = t * 27 * banded_sparse.M * cin * cout * 2
             tf = (gmm + cmm) / (ms * 1e-3) / 1e12
-            print(f"scale{i} subm V={v_in} C={cin}->{cout} T={t}: "
-                  f"{ms:.3f} ms x{n_subm} ({tf:.1f} TF/s, "
-                  f"avg hit={hit.mean():.2f}, "
-                  f"cor={int(plan[f'plan_bsub{i}_cor_count'][0])})")
+            print(f"scale{i} subm V={v_in} C={cin}->{cout} T={t} "
+                  f"kc={kc} P={p}: {ms:.3f} ms x{n_subm} "
+                  f"({tf:.1f} TF/s, "
+                  f"cor={int(plan[f'plan_bsub{i}_p{p}_cor_count'][0])})")
             total_subm += ms * n_subm
         if f"plan_conv{i}" in plan:
             v_out = sc["out_cap"]
             kern = sc["down"][0]
-            kx = kern[2]
+            cin = sc["down_in_ch"]
+            cout_d = sc["down_out_ch"]
+            kc = banded_sparse.choose_kc(kern, cin)
             k = int(np.prod(kern))
             slots = plan[f"plan_conv{i}"].astype(np.int32)
             bp = banded_sparse.plan_from_host(
                 jnp.asarray(slots)[None],
-                jnp.asarray(plan[f"plan_bconv{i}_bidx"])[None],
-                jnp.asarray(plan[f"plan_bconv{i}_hit"])[None],
+                jnp.asarray(plan[f"plan_bconv{i}_b0"])[None],
                 jnp.asarray(plan[f"plan_bconv{i}_cor"])[None],
                 jnp.asarray(plan[f"plan_bconv{i}_cor_count"])[None],
-                v_in=v_in, kx=kx, vout=v_out)
-            cout_d = chans[min(i + 1, len(chans) - 1)][0]
+                v_in=v_in, kc=kc, c=cin, vout=v_out)
             feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
             w = jax.random.normal(key, (k, cin, cout_d), jnp.bfloat16)
             f = jax.jit(lambda ft, wt, bp=bp: banded_sparse.banded_conv(

@@ -146,40 +146,39 @@ def main():
 
     # per-conv cost: one banded conv per scale, subm + down
     from second_tpu.ops import banded_sparse
-    feats = {0: vfeat}
-    caps = [sc["in_cap"] for sc in scales]
-    chans = [16, 32, 64, 64]
     x = vfeat
     for i, sc in enumerate(scales):
         v_in = sc["in_cap"]
         cin = x.shape[-1]
         if sc["subm_kernels"]:
-            kx = sc["subm_kernels"][0][2]
+            kern = sc["subm_kernels"][0]
+            p = banded_sparse.pack_factor(cin)
+            kc = banded_sparse.choose_kc(kern, cin)
             pl_ = banded_sparse.plan_from_host(
-                plan[f"plan_subm{i}"], plan[f"plan_bsub{i}_bidx"],
-                plan[f"plan_bsub{i}_hit"], plan[f"plan_bsub{i}_cor"],
-                plan[f"plan_bsub{i}_cor_count"], v_in=v_in, kx=kx)
-            cout = chans[i]
+                plan[f"plan_subm{i}"], plan[f"plan_bsub{i}_p{p}_b0"],
+                plan[f"plan_bsub{i}_p{p}_cor"],
+                plan[f"plan_bsub{i}_p{p}_cor_count"],
+                v_in=v_in, kc=kc, c=cin)
+            cout = sc["subm_widths"][-1]
             w = jnp.zeros((27, cin, cout), jnp.bfloat16)
             ms_c = scan_time(
                 lambda f, w, pl_=pl_: banded_sparse.banded_conv(f, pl_, w),
                 (x, w), it)
-            nsub = sum(1 for op in sm.FHD_TOPOLOGY if op[0] == "subm")
             print(f"  scale{i} subm conv ({v_in}x{cin}->{cout}): "
                   f"{ms_c:.3f} ms")
             x = jnp.zeros((B, v_in, cout), jnp.bfloat16)
         if sc["down"] is not None:
             kernel, stride, padding = sc["down"]
-            kx = kernel[2]
             k = int(np.prod(kernel))
             vout = sc["out_cap"]
-            pl_ = banded_sparse.plan_from_host(
-                plan[f"plan_conv{i}"], plan[f"plan_bconv{i}_bidx"],
-                plan[f"plan_bconv{i}_hit"], plan[f"plan_bconv{i}_cor"],
-                plan[f"plan_bconv{i}_cor_count"], v_in=v_in, kx=kx,
-                vout=vout)
             cin2 = x.shape[-1]
-            cout = chans[min(i + 1, 3)]
+            kc = banded_sparse.choose_kc(kernel, cin2)
+            pl_ = banded_sparse.plan_from_host(
+                plan[f"plan_conv{i}"], plan[f"plan_bconv{i}_b0"],
+                plan[f"plan_bconv{i}_cor"],
+                plan[f"plan_bconv{i}_cor_count"], v_in=v_in, kc=kc,
+                c=cin2, vout=vout)
+            cout = sc["down_out_ch"]
             w = jnp.zeros((k, cin2, cout), jnp.bfloat16)
             ms_c = scan_time(
                 lambda f, w, pl_=pl_: banded_sparse.banded_conv(f, pl_, w),
