@@ -23,21 +23,32 @@ from second_tpu.models import sparse_middle as sm
 from second_tpu.ops import banded_sparse, sparse
 
 
-def timeit(fn, iters):
-    r = fn()
-    jax.block_until_ready(r)
+def scan_time(make_out, feats, iters):
+    """Time make_out(feats) run `iters` times inside ONE jitted scan —
+    a scalar carry folded into the input serializes iterations and
+    defeats CSE; sync via a forced host transfer (block_until_ready is
+    unreliable on the tunneled axon backend)."""
+    import numpy as _np
+
+    @jax.jit
+    def run(f):
+        def body(c, _):
+            o = make_out(f + c.astype(f.dtype))
+            return o.ravel()[0].astype(jnp.float32) * 1e-30, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    _np.asarray(run(feats))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn()
-    jax.block_until_ready(r)
+    _np.asarray(run(feats))
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
 def peak_matmul(iters):
-    for n, c in ((4096, jnp.bfloat16), (8192, jnp.bfloat16)):
-        a = jnp.ones((n, n), c)
-        f = jax.jit(lambda a: a @ a)
-        ms = timeit(lambda: f(a), iters)
+    for n, c in ((4096, jnp.bfloat16),):
+        a = (jax.random.normal(jax.random.PRNGKey(0), (n, n))
+             / np.sqrt(n)).astype(c)
+        ms = scan_time(lambda x, a=a: x @ a, a, iters)
         tf = 2 * n ** 3 / (ms * 1e-3) / 1e12
         print(f"dense {n}x{n} {c.__name__}: {ms:.3f} ms = {tf:.1f} TF/s")
 
@@ -97,9 +108,9 @@ def main():
                 v_in=v_in, kc=kc, c=cin)
             feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
             w = jax.random.normal(key, (27, cin, cout), jnp.bfloat16)
-            f = jax.jit(lambda ft, wt, bp=bp: banded_sparse.banded_conv(
-                ft, bp, wt))
-            ms = timeit(lambda: f(feats, w), args.iters)
+            ms = scan_time(
+                lambda ft, w=w, bp=bp: banded_sparse.banded_conv(
+                    ft, bp, w), feats, args.iters)
             t = -(-v_in // banded_sparse.M)
             j = bp.shape[-2]
             gmm = (t * 27 // kc * j * kc * banded_sparse.M
@@ -127,9 +138,9 @@ def main():
                 v_in=v_in, kc=kc, c=cin, vout=v_out)
             feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
             w = jax.random.normal(key, (k, cin, cout_d), jnp.bfloat16)
-            f = jax.jit(lambda ft, wt, bp=bp: banded_sparse.banded_conv(
-                ft, bp, wt))
-            ms = timeit(lambda: f(feats, w), args.iters)
+            ms = scan_time(
+                lambda ft, w=w, bp=bp: banded_sparse.banded_conv(
+                    ft, bp, w), feats, args.iters)
             print(f"scale{i} down V={v_in}->{v_out} C={cin}->{cout_d} "
                   f"K={k}: {ms:.3f} ms "
                   f"(cor={int(plan[f'plan_bconv{i}_cor_count'][0])})")
