@@ -24,19 +24,20 @@ __version__ = "0.1.0"
 def _enable_compilation_cache():
     """Persistent XLA compilation cache: TPU compiles through a remote
     tunnel cost 1-10 min per program, so every entry point (CLI, bench,
-    tests, tools) shares one on-disk cache.  Opt out by setting
-    SECOND_TPU_NO_JAX_CACHE=1."""
+    tests, tools) shares one on-disk cache.  Library-consumer safe: a
+    no-op when the user already configured a cache (env var or
+    jax.config) or set SECOND_TPU_NO_JAX_CACHE=1."""
     import os
 
     if os.environ.get("SECOND_TPU_NO_JAX_CACHE"):
         return
-    path = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/second_tpu_jax"))
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
     try:
         import jax
 
+        if (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                or jax.config.jax_compilation_cache_dir):
+            return  # user-configured: leave their settings alone
+        path = os.path.expanduser("~/.cache/second_tpu_jax")
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # pragma: no cover - cache is best-effort

@@ -72,30 +72,20 @@ def plan_scales(middle_class_name, output_shape, max_voxels):
     nz, ny, nx = (int(v) for v in output_shape[1:4])
     shape = (nz + 1, ny, nx)
     cap = int(max_voxels)
-    ch = int(output_shape[4]) if len(output_shape) > 4 else 16
     scales = []
     down_idx = 0
     for group in _group_topology(cls.topology):
         subm_kernels = []
-        subm_widths = []  # gather width (input channels) per subm op
-        ch_g = ch
         for op in group:
             if op[0] == "subm":
                 kernel = _t3(op[2])
                 if kernel not in subm_kernels:
                     subm_kernels.append(kernel)
-                if ch_g not in subm_widths:
-                    subm_widths.append(ch_g)
-                ch_g = int(op[1])
         entry = {
             "shape": shape,
             "in_cap": cap,
-            "in_ch": ch,
             "subm_kernels": subm_kernels,
-            "subm_widths": subm_widths,
             "down": None,
-            "down_in_ch": None,
-            "down_out_ch": None,
             "out_cap": None,
             "out_shape": None,
         }
@@ -110,16 +100,11 @@ def plan_scales(middle_class_name, output_shape, max_voxels):
             out_cap = _out_capacity(cap, factor)
             out_shape = _down_out_shape(shape, kernel, stride, pad)
             entry["down"] = (kernel, stride, pad)
-            entry["down_in_ch"] = ch_g
-            entry["down_out_ch"] = int(down_op[1])
             entry["out_cap"] = out_cap
             entry["out_shape"] = out_shape
             shape = out_shape
             cap = out_cap
-            ch = int(down_op[1])
             down_idx += 1
-        else:
-            ch = ch_g
         scales.append(entry)
     return scales
 
@@ -171,19 +156,10 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
             plan[f"plan_subm{i}"] = subm_slots.astype(
                 _slot_dtype(sc["in_cap"]))
             if banded:
-                # one banded plan per distinct pack factor (gather
-                # width) among the scale's subm convs — keyed by p so
-                # the device picks the matching one
-                packs = sorted({
-                    banded_sparse.pack_factor(cw)
-                    for cw in sc["subm_widths"]})
-                for p in packs:
-                    cw = 128 // p
-                    kc = banded_sparse.choose_kc(kernel, cw)
-                    for name, a in banded_sparse.host_banded_arrays(
-                            subm_slots, v_in=sc["in_cap"], kc=kc, c=cw,
-                            cor_capacity=banded_cor_capacity).items():
-                        plan[f"plan_bsub{i}_p{p}_{name}"] = a
+                for name, a in banded_sparse.host_banded_arrays(
+                        subm_slots, v_in=sc["in_cap"], kx=kernel[2],
+                        cor_capacity=banded_cor_capacity).items():
+                    plan[f"plan_bsub{i}_{name}"] = a
         if sc["down"] is not None:
             kernel, stride, padding = sc["down"]
             offs = _kernel_offsets(kernel)
@@ -197,22 +173,17 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
             plan[f"plan_conv{i}"] = conv_slots.astype(
                 _slot_dtype(sc["in_cap"]))
             if banded:
-                c_d = sc["down_in_ch"]
-                kc_d = banded_sparse.choose_kc(kernel, c_d)
                 for name, a in banded_sparse.host_banded_arrays(
-                        conv_slots, v_in=sc["in_cap"], kc=kc_d, c=c_d,
+                        conv_slots, v_in=sc["in_cap"], kx=kernel[2],
                         cor_capacity=banded_cor_capacity).items():
                     plan[f"plan_bconv{i}_{name}"] = a
                 if banded_bwd:
-                    c_t = sc["down_out_ch"]
-                    kc_t = banded_sparse.choose_kc(kernel, c_t)
                     slots_t = banded_sparse.host_transpose_rulebook(
                         conv_slots, v_in=sc["in_cap"])
                     plan[f"plan_btcv{i}_slots"] = slots_t.astype(
                         _slot_dtype(sc["out_cap"]))
                     for name, a in banded_sparse.host_banded_arrays(
-                            slots_t, v_in=sc["out_cap"], kc=kc_t,
-                            c=c_t,
+                            slots_t, v_in=sc["out_cap"], kx=kernel[2],
                             cor_capacity=banded_cor_capacity).items():
                         plan[f"plan_btcv{i}_{name}"] = a
             coords = out_coords
@@ -453,31 +424,57 @@ class SparseMiddleBase(nn.Module):
             if banded:
                 from ..ops import banded_sparse
 
-                def _host_or_device(prefix, slots_found, v_in,
-                                    kernel_, c_, vout):
+                def _host_or_device(prefix, slots_found, v_in, kx,
+                                    vout):
                     """Prefer host-emitted banded metadata (free:
                     built in dataloader workers next to the rulebook);
                     fall back to the on-device builder (a handful of
                     reductions)."""
                     s_kf, f_kf = slots_found
-                    kc_ = banded_sparse.choose_kc(kernel_, c_)
-                    if plan is not None and f"{prefix}_b0" in plan:
+                    if plan is not None and f"{prefix}_bidx" in plan:
                         return banded_sparse.plan_from_host(
-                            s_kf, plan[f"{prefix}_b0"],
-                            plan[f"{prefix}_cor"],
+                            s_kf, plan[f"{prefix}_bidx"],
+                            plan[f"{prefix}_hit"], plan[f"{prefix}_cor"],
                             plan[f"{prefix}_cor_count"],
-                            v_in=v_in, kc=kc_, c=c_, vout=vout,
-                            found=f_kf)
+                            v_in=v_in, kx=kx, vout=vout, found=f_kf)
                     return banded_sparse.build_banded_plan(
-                        s_kf, f_kf, v_in=v_in, kc=kc_, c=c_,
+                        s_kf, f_kf, v_in=v_in, kx=kx,
                         cor_capacity=self.banded_cor_capacity)
 
-                # plans are built lazily at each conv (the gather
-                # width sets the lane-pack factor) and cached per
-                # (kernel, pack) — same-width convs share one plan
                 banded_subm = {}
+                for kernel in subm_kernels:
+                    banded_subm[kernel] = _host_or_device(
+                        f"plan_bsub{scale_idx}", rulebooks[kernel],
+                        v_in=v, kx=kernel[2], vout=v)
                 banded_down = None
                 banded_down_bwd = None
+                if down_op is not None:
+                    kx_d = _t3(down_op[2])[2]
+                    vout_d = out_grid.lin.shape[-1]
+                    banded_down = _host_or_device(
+                        f"plan_bconv{scale_idx}",
+                        (down_slots, None), v_in=v,
+                        kx=kx_d, vout=vout_d)
+                    if train:
+                        # transpose plan for the strided backward
+                        prefix = f"plan_btcv{scale_idx}"
+                        if plan is not None and f"{prefix}_bidx" in plan:
+                            banded_down_bwd = banded_sparse.plan_from_host(
+                                plan[f"{prefix}_slots"],
+                                plan[f"{prefix}_bidx"],
+                                plan[f"{prefix}_hit"],
+                                plan[f"{prefix}_cor"],
+                                plan[f"{prefix}_cor_count"],
+                                v_in=vout_d, kx=kx_d, vout=v)
+                        else:
+                            slots_t = banded_sparse.transpose_rulebook(
+                                down_slots.astype(jnp.int32), v_in=v)
+                            banded_down_bwd = banded_sparse.build_banded_plan(
+                                slots_t, None, v_in=vout_d, kx=kx_d,
+                                cor_capacity=self.banded_cor_capacity)
+                    self.sow(
+                        "intermediates", f"banded_cor_scale{scale_idx}",
+                        banded_down.cor_count)
 
             for op in group:
                 if op[0] == "subm":
@@ -495,14 +492,8 @@ class SparseMiddleBase(nn.Module):
                     if self.compute_dtype is not None:
                         w = w.astype(self.compute_dtype)
                     if banded:
-                        pkey = (kernel, banded_sparse.pack_factor(cin))
-                        if pkey not in banded_subm:
-                            banded_subm[pkey] = _host_or_device(
-                                f"plan_bsub{scale_idx}_p{pkey[1]}",
-                                rulebooks[kernel], v_in=v,
-                                kernel_=kernel, c_=cin, vout=v)
                         feats = banded_sparse.banded_conv(
-                            grid.features, banded_subm[pkey], w, bias)
+                            grid.features, banded_subm[kernel], w, bias)
                         feats = jnp.where(
                             grid.valid[..., None], feats, 0.0)
                         grid = grid._replace(features=feats)
@@ -524,47 +515,6 @@ class SparseMiddleBase(nn.Module):
                     if self.compute_dtype is not None:
                         w = w.astype(self.compute_dtype)
                     if banded:
-                        vout_d = out_grid.lin.shape[-1]
-                        if banded_down is None:
-                            banded_down = _host_or_device(
-                                f"plan_bconv{scale_idx}",
-                                (down_slots, None), v_in=v,
-                                kernel_=kernel, c_=cin, vout=vout_d)
-                            if train:
-                                # transpose plan for the strided
-                                # backward (gather width = Cout)
-                                kc_t = banded_sparse.choose_kc(
-                                    kernel, cout)
-                                prefix = f"plan_btcv{scale_idx}"
-                                if (plan is not None
-                                        and f"{prefix}_b0" in plan):
-                                    banded_down_bwd = (
-                                        banded_sparse.plan_from_host(
-                                            plan[f"{prefix}_slots"],
-                                            plan[f"{prefix}_b0"],
-                                            plan[f"{prefix}_cor"],
-                                            plan[
-                                                f"{prefix}_cor_count"],
-                                            v_in=vout_d, kc=kc_t,
-                                            c=cout, vout=v))
-                                else:
-                                    slots_t = (
-                                        banded_sparse
-                                        .transpose_rulebook(
-                                            down_slots.astype(
-                                                jnp.int32), v_in=v))
-                                    banded_down_bwd = (
-                                        banded_sparse
-                                        .build_banded_plan(
-                                            slots_t, None,
-                                            v_in=vout_d, kc=kc_t,
-                                            c=cout,
-                                            cor_capacity=self
-                                            .banded_cor_capacity))
-                            self.sow(
-                                "intermediates",
-                                f"banded_cor_scale{scale_idx}",
-                                banded_down.cor_count)
                         feats = banded_sparse.banded_conv(
                             grid.features, banded_down, w, bias,
                             bwd_plan=banded_down_bwd)

@@ -34,7 +34,7 @@ def _load():
         i32p, i64, i64, i32p, i32p]
     lib.down_plan.restype = i64
     lib.banded_plan.argtypes = [
-        i32p, i64, i64, i64, i64, i64, i64, i64, i32p, i32p]
+        i32p, i64, i64, i64, i64, i64, i32p, i32p, i32p]
     lib.banded_plan.restype = i64
     lib.transpose_rulebook.argtypes = [
         i32p, i64, i64, i64, i64, i32p]
@@ -84,23 +84,26 @@ def down_plan(coords, shape, kernel, stride, padding, offsets, out_cap):
     return out_coords, conv_slots, int(total)
 
 
-def banded_plan(slots, v_in, kc, cor_capacity, j, p):
+def banded_plan(slots, v_in, kx, cor_capacity):
     """Banded gather-plan metadata for one rulebook (C++ twin of
-    ops.banded_sparse._host_banded_arrays_np; same dict layout).
-    kc = offsets per cluster; j = windows per (tile, cluster);
-    p = lane-pack factor (ops.banded_sparse.pack_factor)."""
+    ops.banded_sparse._host_banded_arrays_np; same dict layout)."""
     lib = _load()
     slots = np.ascontiguousarray(slots, np.int32)
     vout, k = slots.shape
-    m, g = 128, k // kc
+    m, g = 128, k // kx
     t = -(-vout // m)
-    b0 = np.empty((t, g, int(j)), np.int32)
+    # WIN_BLOCKS must match ops.banded_sparse / second_native.cpp
+    from ..ops.banded_sparse import WIN_BLOCKS
+
+    bidx = np.empty((t, g, WIN_BLOCKS), np.int32)
+    hit = np.empty((t, g), np.int32)
     cor = np.empty((3, cor_capacity), np.int32)
     count = lib.banded_plan(
-        _ip(slots), vout, k, int(v_in), int(kc), int(cor_capacity),
-        int(j), int(p), _ip(b0), _ip(cor))
+        _ip(slots), vout, k, int(v_in), int(kx), int(cor_capacity),
+        _ip(bidx), _ip(hit), _ip(cor))
     return {
-        "b0": b0,
+        "bidx": bidx,
+        "hit": hit,
         "cor": cor,
         "cor_count": np.array([count], np.int32),
     }

@@ -560,26 +560,28 @@ int64_t down_plan(const int32_t* coords, int64_t v_cap,
 // ops/banded_sparse._host_banded_arrays_np; layout/semantics
 // documented there).  slots [vout, k] int32 row-major, miss encoded
 // as >= v_in.  The Pallas kernel consumes the rulebook itself; this
-// emits only the per-(tile, cluster) window metadata:
-//   b0  [t, g, j] int32       (window start SUPER-rows per cluster,
-//                              16-aligned greedy cover, -1 = absent;
-//                              super-row = p packed table rows)
-//   cor [3, cor_capacity] int32 ((out_row, in_slot, k); out_row ==
+// emits only the per-(tile, offset-group) metadata:
+//   bidx [t, g, WIN_BLOCKS] int32  (window block index per block;
+//                              unused (tile, group, j) entries repeat
+//                              the previous tile's value in their
+//                              (g, j) column so the Pallas pipeline
+//                              skips the re-DMA; leading unused rows
+//                              take the column's tile-0 candidate)
+//   hit  [t, g] int32         (number of window blocks used, 0..6)
+//   cor  [3, cor_capacity] int32 ((out_row, in_slot, k); out_row ==
 //                              vout marks padding; entries ordered by
-//                              (tile, row, cluster, x) like the twin)
+//                              (tile, row, group, x) like the twin)
 // Returns the TRUE correction count (> cor_capacity = overflow, the
 // caller surfaces it).
 int64_t banded_plan(const int32_t* slots, int64_t vout, int64_t k,
-                    int64_t v_in, int64_t kc, int64_t cor_capacity,
-                    int64_t j, int64_t p, int32_t* b0_out,
-                    int32_t* cor) {
-  const int64_t M = 128, BLK = 128, ALIGN = 16;
-  const int64_t g = k / kc;
+                    int64_t v_in, int64_t kx, int64_t cor_capacity,
+                    int32_t* bidx, int32_t* hit, int32_t* cor) {
+  const int64_t M = 128, BLK = 128, WIN_BLOCKS = 6;
+  const int64_t g = k / kx;
   const int64_t t = (vout + M - 1) / M;
-  // table_pad(v_in, p) / p: packed super-rows (>= BLK, ALIGN-padded;
-  // the miss row v_in must exist and be zero)
-  int64_t vps = ((v_in / p + ALIGN) / ALIGN) * ALIGN;
-  if (vps < BLK) vps = BLK;
+  // table_pad(v_in) / BLK: padded feature-table blocks
+  const int64_t vp_blocks = (v_in + BLK - 1) / BLK + WIN_BLOCKS - 1;
+  const int64_t b0_max = vp_blocks - WIN_BLOCKS;
   const int32_t big = (int32_t)1 << 30;
 
   for (int64_t r = 0; r < cor_capacity; ++r) {
@@ -588,65 +590,83 @@ int64_t banded_plan(const int32_t* slots, int64_t vout, int64_t k,
     cor[2 * cor_capacity + r] = 0;
   }
   int64_t cor_count = 0;
-  std::vector<int32_t> floor_g(g);
+  // per-(g, j) column state for the unused-entry fill: most recent
+  // USED candidate value, plus the column's tile-0 candidate for
+  // leading unused rows (numpy: cand[clip(last, 0), col])
+  std::vector<int32_t> last_cand(g * WIN_BLOCKS, -1);
+  std::vector<int32_t> cand0(g * WIN_BLOCKS, 0);
+
+  std::vector<int32_t> lim_pair(g);
   for (int64_t ti = 0; ti < t; ++ti) {
     const int64_t row0 = ti * M;
     const int64_t rows = std::min(M, vout - row0);
+    // pass 1: per-group window base + block count.  One scan computes
+    // gmin AND gmax; when gmax is already inside the window (the
+    // overwhelmingly common case) no rescan or correction pass is
+    // needed for the group.
     bool any_cor = false;
     for (int64_t gi = 0; gi < g; ++gi) {
-      int32_t floor_w = 0;
-      for (int64_t w = 0; w < j; ++w) {
-        // min valid super-row >= floor (uncovered slots are exactly
-        // those at/above the floor: windows stack upward)
-        int32_t m0 = big;
-        for (int64_t m = 0; m < rows; ++m) {
-          const int32_t* row = slots + (row0 + m) * k + gi * kc;
-          for (int64_t x = 0; x < kc; ++x) {
-            const int32_t s = row[x];
-            if (s < v_in) {
-              const int32_t su = s / (int32_t)p;
-              if (su >= floor_w && su < m0) m0 = su;
-            }
+      int32_t gmin = big, gmax = -1;
+      for (int64_t m = 0; m < rows; ++m) {
+        const int32_t* row = slots + (row0 + m) * k + gi * kx;
+        for (int64_t x = 0; x < kx; ++x) {
+          const int32_t s = row[x];
+          if (s < v_in) {
+            if (s < gmin) gmin = s;
+            if (s > gmax) gmax = s;
           }
         }
-        int32_t b0 = -1;
-        if (m0 < big) {
-          b0 = (m0 / ALIGN) * ALIGN;
-          if (b0 < floor_w) b0 = floor_w;
-          if (b0 > vps - BLK) b0 = (int32_t)(vps - BLK);
-          if (b0 < floor_w) b0 = -1;  // table end already covered
-        }
-        b0_out[(ti * g + gi) * j + w] = b0;
-        if (b0 >= 0) floor_w = b0 + (int32_t)BLK;
       }
-      floor_g[gi] = floor_w;
-      if (floor_w <= (int32_t)(vps - 1)) {
-        // cheap pre-check: any valid super-row >= final floor?
-        for (int64_t m = 0; m < rows && !any_cor; ++m) {
-          const int32_t* row = slots + (row0 + m) * k + gi * kc;
-          for (int64_t x = 0; x < kc; ++x) {
+      int64_t b0 = gmin / BLK;
+      if (b0 > b0_max) b0 = b0_max;
+      const int32_t lim = (int32_t)((b0 + WIN_BLOCKS) * BLK);
+      int32_t gmax_inwin;
+      if (gmax < lim) {
+        gmax_inwin = gmax >= 0 ? gmax - (int32_t)(b0 * BLK) : -1;
+      } else {
+        any_cor = true;
+        gmax_inwin = -1;
+        for (int64_t m = 0; m < rows; ++m) {
+          const int32_t* row = slots + (row0 + m) * k + gi * kx;
+          for (int64_t x = 0; x < kx; ++x) {
             const int32_t s = row[x];
-            if (s < v_in && s / (int32_t)p >= floor_g[gi]) {
-              any_cor = true;
-              break;
+            if (s < v_in && s < lim) {
+              const int32_t rv = s - (int32_t)(b0 * BLK);
+              if (rv > gmax_inwin) gmax_inwin = rv;
             }
           }
         }
+      }
+      lim_pair[gi] = lim;
+      const int64_t nblk = gmax_inwin >= 0 ? gmax_inwin / BLK + 1 : 0;
+      hit[ti * g + gi] = (int32_t)nblk;
+      for (int64_t j = 0; j < WIN_BLOCKS; ++j) {
+        const int64_t col = gi * WIN_BLOCKS + j;
+        const int32_t cand = (int32_t)(b0 + j);
+        if (ti == 0) cand0[col] = cand;
+        int32_t v;
+        if (j < nblk) {
+          v = cand;
+          last_cand[col] = cand;
+        } else {
+          v = last_cand[col] >= 0 ? last_cand[col] : cand0[col];
+        }
+        bidx[(ti * g + gi) * WIN_BLOCKS + j] = v;
       }
     }
     if (!any_cor) continue;
-    // corrections in (row, cluster, x) order (twin parity)
+    // pass 2: corrections in (row, group, x) order (twin parity)
     for (int64_t m = 0; m < rows; ++m) {
       const int32_t* row = slots + (row0 + m) * k;
       for (int64_t gi = 0; gi < g; ++gi) {
-        for (int64_t x = 0; x < kc; ++x) {
-          const int32_t s = row[gi * kc + x];
-          if (s < v_in && s / (int32_t)p >= floor_g[gi]) {
+        for (int64_t x = 0; x < kx; ++x) {
+          const int32_t s = row[gi * kx + x];
+          if (s < v_in && s >= lim_pair[gi]) {
             if (cor_count < cor_capacity) {
               cor[cor_count] = (int32_t)(row0 + m);
               cor[cor_capacity + cor_count] = s;
               cor[2 * cor_capacity + cor_count] =
-                  (int32_t)(gi * kc + x);
+                  (int32_t)(gi * kx + x);
             }
             ++cor_count;
           }

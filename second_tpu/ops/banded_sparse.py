@@ -3,70 +3,56 @@
 The TPU executes row-gathers at ~8 cycles/row (a sequential DMA-
 descriptor loop), which makes the straightforward gather->GEMM sparse
 conv in :mod:`second_tpu.ops.sparse` HBM-descriptor-bound: the car.fhd
-middle spends ~60 ms/frame issuing ~15M row gathers.  The MXU, by
+middle spends ~60 ms/frame issuing ~16M row gathers.  The MXU, by
 contrast, runs dense bf16 matmuls at >100 TF/s.  This module performs
-the gather ON the MXU.
-
-Design (v6).  The cost of a one-hot MXU gather is
-``(window rows) x (lane width)`` FLOPs per gathered row, so the design
-minimises both:
+the gather ON the MXU:
 
   * Voxels are sorted by linearized coordinate (the SparseGrid
     contract), so for each kernel offset the neighbor-slot array is
-    monotonic.  Offsets are grouped into clusters of ``kc`` consecutive
-    offsets in the C-order (dz, dy, dx) enumeration (kc = ky*kx: one
-    cluster per dz; kc = kx: one per (dz, dy)): within a cluster the
-    neighbor rows of one 128-output tile form a few tight bands.
-  * The feature table is LANE-PACKED: P = 128 // C consecutive rows
-    share one 128-lane super-row, so a single 128-wide one-hot dot
-    gathers from a window of 128*P real rows with zero lane waste
-    (2x/4x/8x fewer one-hot FLOPs than unpacked at C = 64/32/16) and
-    the window itself covers P times more rows.
-  * Each (tile, cluster) gets up to J independent 128-super-row
-    windows (16-aligned starts, -1 = absent): the second window
-    catches the sort-order discontinuity where a tile's neighbors
-    straddle a z-plane boundary — the case that made single contiguous
-    windows blow up into 100k+ CSR corrections on real scenes.  Absent
-    windows cost nothing: their DMA and their dot are pl.when-gated.
-  * Per window the kernel fetches 128 packed super-rows with ONE
-    manual async DMA (``pltpu.make_async_copy``, double-buffered
-    across grid steps), builds ONE [kc*M, 128] bf16 one-hot on the
-    relative super-row (exact: values < 128 are bf16-exact), runs ONE
-    MXU dot against the window, and accumulates.  A P-way lane select
-    on slot % P unpacks each row's channels from its super-row.
-  * The closing GEMM [M, K*C] @ [K*C, Cout] streams the gathered rows
-    through the weights.
-  * The tail of slots no window covers (< 0.1% after the multi-window
-    fix) falls back to a capacity-bounded CSR pass: gather the
-    affected (out, in, k) entries row-wise, apply per-entry weights,
-    scatter-add.  Overflow of the static correction capacity is
-    counted, never silent.
+    monotonic: 128 consecutive outputs read from a narrow WINDOW of the
+    feature table (at 128-row blocks the per-(tile, offset-group)
+    window needs 1 block ~60%, 2 blocks ~35% on KITTI-scale scenes).
+  * Kernel grid: one step per tile of 128 output rows; all offset
+    triples (dx = -1/0/+1 share a (dz, dy) and hence a window) are
+    unrolled in-kernel.  Per offset-group the plan records how many
+    128-row window blocks the tile needs (``hit`` in 0..WIN_BLOCKS)
+    and the block index of EACH window block (``bidx [T, G, J]``);
+    unused (tile, group, j) entries repeat the previous tile's index
+    so the Pallas pipeline skips their DMA entirely.  The gather is
+    ``one_hot(slot - block_base) @ block`` MXU matmuls.
+  * The kernel reads the RAW slot rulebook ([Vout, K] int32, rows =
+    output rows, lanes = kernel offsets — the layout the host planner
+    and the XLA path already produce) and rebases it in-kernel; the
+    only plan metadata is bidx/hit.  Misses are encoded as ``v_in``
+    exactly, which one-hot-matches the table's first zero padding row
+    and contributes nothing — no plan transposes, on host or device.
+  * The <1% of (tile, triple) pairs whose span exceeds the widest
+    window (WIN_BLOCKS*BLK rows; sort-order discontinuities) fall back
+    to a capacity-bounded CSR pass: gather the affected (out, in, k)
+    entries row-wise, apply per-entry weights, scatter-add.  Overflow
+    of the static correction capacity is counted, never silent.
 
 The banded plan derives from the same slot rulebooks the XLA path
-uses.  In production the HOST planner emits the tiny b0/cor arrays
-alongside the rulebooks (host_banded_arrays, C++); the on-device
-builder (build_banded_plan) is a handful of reductions over reshaped
-views.  The plan depends only on the active set and the gather width
-C (via the pack factor), so it is shared by every same-width conv on
-that set (spconv ``indice_key`` semantics, reference
+uses.  In production the HOST planner emits the tiny bidx/hit/cor
+arrays alongside the rulebooks (host_banded_arrays, C++); the
+on-device builder (build_banded_plan) is a handful of reductions over
+reshaped views.  The plan depends only on the active set, so it is
+built once per scale and shared by every conv on that set (spconv
+``indice_key`` semantics, reference
 second/pytorch/models/middle.py:146-190).
 
 Training: :func:`banded_conv` is differentiable via ``jax.custom_vjp``.
 The input-gradient is itself a banded conv — for submanifold convs
-``dfeat[i] = sum_k dout[slots[i, k]] @ W[K-1-k]^T`` (the SAME rulebook
-with kernel-mirrored transposed weights, because the full-cube offset
-set is symmetric and subm rulebooks satisfy ``slots[o, k] = i  <=>
-slots[i, K-1-k] = o``) but needs its own PLAN (the gather width is
-Cout); strided convs need a host/device-built TRANSPOSE rulebook
-(``transpose_rulebook``).  The weight-gradient runs on a second Pallas
-kernel with the same window gathers, accumulating ``gathered^T @ dout``
-in a VMEM-resident [K*C, Cout] output block across the sequential grid.
-CSR correction entries contribute to both grads through a per-offset
+``dfeat[i] = sum_k dout[slots[i, k]] @ W[K-1-k]^T`` (the SAME plan with
+kernel-mirrored transposed weights, because the full-cube offset set is
+symmetric and subm rulebooks satisfy ``slots[o, k] = i  <=>
+slots[i, K-1-k] = o``); strided convs need a host/device-built
+TRANSPOSE plan (``transpose_rulebook``) mapping input rows to the
+consuming output rows.  The weight-gradient runs on a second Pallas
+kernel that re-uses the same window DMAs and accumulates
+``gathered^T @ dout`` tiles in VMEM across the sequential grid.  CSR
+correction entries contribute to both grads through a per-offset
 masked-matmul pass.
-
-Off-TPU (tests, CPU mesh) ``interpret=True`` runs an exact XLA
-reference implementation of the same decomposition (window-covered
-gather + CSR corrections) instead of the Pallas kernel.
 """
 
 import functools
@@ -76,35 +62,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-M = 128        # output rows per tile / grid step
-BLK = 128      # lane width: one-hot columns = packed super-rows per window
-SUP_ALIGN = 16  # window-start alignment in super-rows (bf16 sublane tile)
-J_DEFAULT = 2  # windows per (tile, cluster)
-
-
-def pack_factor(c):
-    """Rows per 128-lane super-row for gather width ``c``."""
-    if c <= 0 or 128 % c:
-        return 1
-    return 128 // c
-
-
-def choose_kc(kernel, c):
-    """Offsets per cluster for a (kz, ky, kx) kernel gathering
-    ``c``-wide features.  Wide windows (small c => large pack factor)
-    absorb the dy spread, so one cluster per dz (kc = ky*kx) minimises
-    DMA/dot count; at c >= 64 the window is only 128*P = 256 rows and
-    per-(dz, dy) clusters (kc = kx) keep the spans inside it."""
-    kz, ky, kx = kernel
-    return ky * kx if pack_factor(c) >= 4 else kx
-
-
-def table_pad(v, p=1):
-    """Padded feature-table length: the miss row (== v) must exist and
-    be zero, the packed table needs a whole number of SUP_ALIGN
-    super-rows, and at least BLK super-rows so a window fits."""
-    sup = max(-(-(v + 1) // (p * SUP_ALIGN)) * SUP_ALIGN, BLK)
-    return sup * p
+M = 128          # output rows per tile
+BLK = 128        # feature-table window block size
+WIN_BLOCKS = 6   # max window = 6 blocks (768 rows, ~p99 of spans);
+                 # per-block DMAs are plan-gated, so a tile pays only
+                 # for the blocks its spans actually need
 
 
 class BandedPlan(NamedTuple):
@@ -114,14 +76,14 @@ class BandedPlan(NamedTuple):
     so a plan crosses jit boundaries without the ints turning into
     tracers)."""
 
-    slots: jnp.ndarray     # [B*NT, M, K] int32, miss == Vin exactly
-    b0: jnp.ndarray        # [B*NT, G, J] int32 global window start
-    #                        super-row (16-aligned, -1 = absent)
+    slots: jnp.ndarray     # [B*T, M, K] int32, miss == Vin exactly
+    bidx: jnp.ndarray      # [BT, G, J] int32 global window block index
+    hit: jnp.ndarray       # [BT, G] int32: number of blocks, 0..J
     cor_out: jnp.ndarray   # [B, R] int32 out row (Vout = pad/dump)
     cor_in: jnp.ndarray    # [B, R] int32 in slot (into padded table)
     cor_k: jnp.ndarray     # [B, R] int32 kernel offset index
     cor_count: jnp.ndarray  # [B] int32 TRUE correction count (overflow obs.)
-    shape: tuple           # static: (B, Vout, K, KC, G, NT, Vin, Vp, J, P)
+    shape: tuple           # static: (B, Vout, K, KX, G, T, Vin, Vp)
 
 
 jax.tree_util.register_pytree_node(
@@ -131,96 +93,97 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _grouping(k, kc):
+def _grouping(K, kx):
     """Offsets are enumerated C-order over (dz, dy, dx) (sparse.py
-    _kernel_offsets), so consecutive runs of kc offsets share their
-    leading coordinates."""
-    assert k % kc == 0, (k, kc)
-    return k // kc
+    _kernel_offsets), so consecutive runs of ``kx`` share (dz, dy)."""
+    assert K % kx == 0, (K, kx)
+    return K // kx
 
 
-def _greedy_windows(sup_min_fn, vps, j):
-    """Shared greedy-cover driver: repeatedly take the smallest
-    uncovered super-row, open a 16-aligned 128-super-row window there.
-    ``sup_min_fn(lo)`` returns the smallest valid super-row >= lo (or
-    BIG).  Returns the list of window starts (-1 absent)."""
-    big = 1 << 30
-    starts = []
-    lo = 0
-    floor = 0
-    for _ in range(j):
-        m = sup_min_fn(lo)
-        if m >= big:
-            starts.append(-1)
-            continue
-        b = max((m // SUP_ALIGN) * SUP_ALIGN, floor)
-        b = min(b, vps - BLK)
-        if b < floor:
-            starts.append(-1)
-            continue
-        starts.append(b)
-        lo = b + BLK
-        floor = b + BLK
-    return starts
+def table_pad(v):
+    """Padded feature-table length: room for the b0+J-1 window block."""
+    return (-(-v // BLK) + WIN_BLOCKS - 1) * BLK
 
 
-def build_banded_plan(slots, found, v_in, kc, c=None, cor_capacity=8192,
-                      j=J_DEFAULT, p=None):
+def _fill_unused_bidx_np(used, cand):
+    """used/cand: [T, G, J].  Unused entries inherit the previous
+    tile's value in their (g, j) column (the Pallas pipeline skips the
+    DMA when a buffer's block index repeats); leading unused rows take
+    the column's row-0 candidate."""
+    t = used.shape[0]
+    u = used.reshape(t, -1)
+    c = cand.reshape(t, -1)
+    idx = np.where(u, np.arange(t)[:, None], -1)
+    last = np.maximum.accumulate(idx, axis=0)
+    rows = np.clip(last, 0, None)
+    return np.take_along_axis(c, rows, axis=0).reshape(cand.shape)
+
+
+def _fill_unused_bidx_jnp(used, cand):
+    """jnp twin of :func:`_fill_unused_bidx_np` (columns = (b?, g, j)
+    flattened; the scan runs over the tile axis)."""
+    t = used.shape[0]
+    u = used.reshape(t, -1)
+    c = cand.reshape(t, -1)
+    idx = jnp.where(u, jnp.arange(t)[:, None], -1)
+    last = jax.lax.associative_scan(jnp.maximum, idx, axis=0)
+    rows = jnp.clip(last, 0)
+    return jnp.take_along_axis(c, rows, axis=0).reshape(cand.shape)
+
+
+def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
     """slots [B, Vout, K] int32 (miss >= v_in), found [B, Vout, K] bool
-    or None -> BandedPlan.  kc: offsets per cluster; c: gather channel
-    width (sets the pack factor; pass p to override).
-    All ops are reshapes/reductions plus one transpose; jit-traceable;
-    runs once per (active set, kernel, width).
+    or None -> BandedPlan.  kx: kernel x-extent (offset group size).
+    All ops are reshapes/reductions (no transposes); jit-traceable;
+    runs once per (active set, kernel).
     """
-    if p is None:
-        p = pack_factor(c) if c is not None else 1
     b, vout, k = slots.shape
-    g = _grouping(k, kc)
-    nt = -(-vout // M)
-    vp = table_pad(v_in, p)
-    vps = vp // p
-    big = jnp.int32(2 ** 30)
+    g = _grouping(k, kx)
+    t = -(-vout // M)
+    vp = table_pad(v_in)
     miss = slots >= v_in
     if found is not None:
         miss = miss | ~found
     s = jnp.where(miss, jnp.int32(v_in), slots.astype(jnp.int32))
-    pad_rows = nt * M - vout
+    pad_rows = t * M - vout
     if pad_rows:
         s = jnp.concatenate(
             [s, jnp.full((b, pad_rows, k), v_in, jnp.int32)], axis=1)
-    s5 = s.reshape(b, nt, M, g, kc)
-    sup = s5 // p
-    valid = s5 < v_in
+    s4 = s.reshape(b, t, M, g, kx)
+    valid = s4 < v_in
+    gmin = jnp.where(valid, s4, jnp.int32(2 ** 30)).min(axis=(2, 4))
+    b0 = jnp.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)  # [B, T, G]
+    rel = s4 - (b0 * BLK)[:, :, None, :, None]
+    in_win = valid & (rel < WIN_BLOCKS * BLK)
+    relmax = jnp.where(in_win, rel, -1).max(axis=(2, 4))   # [B, T, G]
+    hit = jnp.where(relmax >= 0, relmax // BLK + 1, 0)
 
-    starts = []
-    covered = jnp.zeros(valid.shape, bool)
-    floor = jnp.zeros((b, nt, g), jnp.int32)
-    for w in range(j):
-        mval = jnp.where(valid & ~covered, sup, big).min(axis=(2, 4))
-        b0 = jnp.maximum((mval // SUP_ALIGN) * SUP_ALIGN, floor)
-        b0 = jnp.minimum(b0, vps - BLK)
-        present = (mval < big) & (b0 >= floor)
-        cov_w = (valid & (sup >= b0[:, :, None, :, None])
-                 & (sup < (b0 + BLK)[:, :, None, :, None]) & present[
-                     :, :, None, :, None])
-        covered = covered | cov_w
-        starts.append(jnp.where(present, b0, jnp.int32(-1)))
-        floor = jnp.where(present, b0 + BLK, floor)
-    b0s = jnp.stack(starts, axis=-1)                 # [B, NT, G, J]
+    # per-(g, j) window block index; unused entries repeat the previous
+    # tile's so the Pallas pipeline skips the DMA
+    jarange = jnp.arange(WIN_BLOCKS, dtype=jnp.int32)
+    used = hit[..., None] > jarange                         # [B, T, G, J]
+    cand = b0[..., None].astype(jnp.int32) + jarange
+    bidx = _fill_unused_bidx_jnp(
+        used.reshape(b * t, g, WIN_BLOCKS),
+        cand.reshape(b * t, g, WIN_BLOCKS)).reshape(
+            b, t, g, WIN_BLOCKS)
+    # per-batch table offset into the stacked [B*Vp, C] table
+    bidx = bidx + (jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+                   * (vp // BLK))
 
-    # CSR corrections: valid slots no window covers
-    need = (valid & ~covered).transpose(0, 1, 2, 3, 4).reshape(
-        b, nt * M * g * kc)
+    # CSR corrections: valid slots outside their pair's window
+    need = (valid & ~in_win).reshape(b, t * M * g * kx)
     cor_count = need.sum(axis=1).astype(jnp.int32)
 
     def one(args):
         need_row, s_row = args
         (pos,) = jnp.nonzero(need_row, size=cor_capacity,
                              fill_value=need_row.shape[0])
-        # decode flat (nt*M, g, kc) -> out row, k  ((g, kc) flat == k)
-        tm = pos // (g * kc)
-        kk = pos % (g * kc)
+        # decode flat (t, m, g, kx) -> out row, k
+        tm = pos // (g * kx)
+        gk = pos % (g * kx)
         out_row = jnp.where(pos < need_row.shape[0], tm, vout)
+        kk = gk  # (g, kx) flat == k (C-order grouping)
         in_slot = jnp.where(
             pos < need_row.shape[0],
             s_row[jnp.clip(pos, 0, need_row.shape[0] - 1)], 0)
@@ -228,244 +191,118 @@ def build_banded_plan(slots, found, v_in, kc, c=None, cor_capacity=8192,
                 kk.astype(jnp.int32))
 
     cor_out, cor_in, cor_k = jax.lax.map(
-        one, (need, s.reshape(b, nt * M * g * kc)))
-
-    # kernel layout [B*NT, M, K]: M on sublanes, K on lanes — the
-    # in-kernel one-hot slices a column per offset (lane-to-sublane
-    # relayouts are unsupported in Mosaic).  b0 stays example-LOCAL;
-    # the kernel adds the example's packed-table offset at DMA time.
-    slots_t = s.reshape(b * nt, M, k)
-    b0s = b0s.reshape(b * nt, g, j)
+        one, (need, s.reshape(b, t * M * g * kx)))
 
     return BandedPlan(
-        slots=slots_t.astype(jnp.int32),
-        b0=b0s.astype(jnp.int32),
+        slots=s.reshape(b * t, M, k),
+        bidx=bidx.reshape(b * t, g, WIN_BLOCKS).astype(jnp.int32),
+        hit=hit.reshape(b * t, g).astype(jnp.int32),
         cor_out=cor_out, cor_in=cor_in, cor_k=cor_k,
         cor_count=cor_count,
-        shape=(b, vout, k, kc, g, nt, v_in, vp, j, p),
+        shape=(b, vout, k, kx, g, t, v_in, vp),
     )
 
 
-# ---------------------------------------------------------------------------
-# Forward Pallas kernel
-# ---------------------------------------------------------------------------
-
-
-def choose_kt(g, j, k, c, cout, esize, kc):
-    """Tiles per grid step: amortizes the per-step fixed cost (index
-    maps, DMA bookkeeping, closing-GEMM weight loads) subject to the
-    ~16MB VMEM budget (double-buffered windows + gather scratch +
-    double-buffered in/out blocks)."""
-    for kt in (8, 4, 2, 1):
-        win = 2 * kt * g * j * BLK * BLK * esize
-        gth = kt * M * k * c * esize
-        io = 2 * kt * M * (k * 4 + 2 * cout * esize)
-        fixed = kc * M * BLK * (esize + 4) + k * c * cout * esize
-        if win + gth + io + fixed <= 12_000_000:
-            return kt
-    return 1
-
-
-def _make_fwd_kernel(kc, g, c, cout, j, p, out_dtype, vps, nt, kt):
+def _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(b0_ref, s_ref, w_ref, table_ref, out_ref,
-               win_ref, gth_ref, ohm_ref, acc_ref, sems):
-        n = pl.program_id(0)
-        nsteps = pl.num_programs(0)
-
-        def b0_at(step, kt_i, g_i, w):
-            return b0_ref[((step * kt + kt_i) * g + g_i) * j + w]
-
-        def dma(step, parity, kt_i, g_i, w):
-            # b0 is example-local; the packed table is [B*Vps, 128].
-            # The start index is written as (q * SUP_ALIGN) so Mosaic
-            # can PROVE sublane-tile divisibility when it places the
-            # table in VMEM (it fits at the deeper scales).
-            q = ((b0_at(step, kt_i, g_i, w) // SUP_ALIGN)
-                 + ((step * kt + kt_i) // nt) * (vps // SUP_ALIGN))
-            return pltpu.make_async_copy(
-                table_ref.at[pl.ds(q * SUP_ALIGN, BLK)],
-                win_ref.at[parity, kt_i, g_i, w],
-                sems.at[parity, kt_i, g_i, w])
-
-        def start_all(step, parity):
-            for kt_i in range(kt):
-                for g_i in range(g):
-                    for w in range(j):
-                        @pl.when(b0_at(step, kt_i, g_i, w) >= 0)
-                        def _():
-                            dma(step, parity, kt_i, g_i, w).start()
-
-        @pl.when(n == 0)
-        def _():
-            start_all(0, 0)
-
-        @pl.when(n + 1 < nsteps)
-        def _():
-            start_all(n + 1, (n + 1) % 2)
-
-        par = n % 2
-        tdt = win_ref.dtype
+    def kernel(*refs):
+        # bidx/hit are FLAT 1-D scalar-prefetch arrays: SMEM tiles the
+        # last two dims to (8, 128) multiples, so a [BT, G, J] layout
+        # would allocate BT*16*128 words (>1 MB at fhd tile counts) —
+        # flat costs BT*G*J words exactly.
+        bidx_ref, hit_ref, s_ref, w_ref = refs[:4]
+        win_refs = refs[4:4 + g * WIN_BLOCKS]
+        out_ref, acc_ref, gth_ref = refs[4 + g * WIN_BLOCKS:]
+        t = pl.program_id(0)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
         iota = jax.lax.broadcasted_iota(jnp.int32, (M, BLK), 1)
+        dn = (((1,), (0,)), ((), ()))
 
-        for kt_i in range(kt):
-            for g_i in range(g):
-                s_g = s_ref[0, kt_i, :,
-                            g_i * kc:(g_i + 1) * kc]      # [M, kc] int32
-                sup = s_g // p if p > 1 else s_g
-                acc_ref[:] = jnp.zeros_like(acc_ref)
-                for w in range(j):
-                    b0w = b0_at(n, kt_i, g_i, w)
+        for gi in range(g):
+            wins = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
 
-                    @pl.when(b0w >= 0)
-                    def _():
-                        dma(n, par, kt_i, g_i, w).wait()
-                        # int32 equality against iota; misses and
-                        # uncovered slots match nothing, contribute 0.
-                        rel = sup - b0w                   # [M, kc]
-                        for x in range(kc):
-                            ohm_ref[x * M:(x + 1) * M, :] = (
-                                rel[:, x:x + 1] == iota).astype(tdt)
-                        acc_ref[:] += jax.lax.dot(
-                            ohm_ref[:], win_ref[par, kt_i, g_i, w],
+            @pl.when(hit_ref[t * g + gi] > 0)
+            def _(gi=gi):
+                gth_ref[:] = jnp.zeros_like(gth_ref)
+
+            for j in range(WIN_BLOCKS):
+                @pl.when(hit_ref[t * g + gi] > j)
+                def _(gi=gi, j=j, wins=wins):
+                    # block's OWN base (bidx[t, gi, j] == b0 + j when
+                    # used), LOCAL to this example's table rows
+                    base = (bidx_ref[(t * g + gi) * WIN_BLOCKS + j]
+                            - (t // t_per_b) * vp_blocks) * BLK
+                    wj = wins[j][:]
+                    for x in range(kx):
+                        col = gi * kx + x
+                        rel = s_ref[0, :, col:col + 1] - base   # [M, 1]
+                        ohm = (rel == iota).astype(wj.dtype)
+                        gth_ref[:, x * c:(x + 1) * c] += jax.lax.dot_general(
+                            ohm, wj, dn,
                             preferred_element_type=jnp.float32)
-                # P-way lane select: row m's channels live at lane
-                # offset (slot % P) * c of its super-row
-                row0 = kt_i * M
-                for x in range(kc):
-                    band = (g_i * kc + x) * c
-                    seg = acc_ref[x * M:(x + 1) * M, :]
-                    if p == 1:
-                        res = seg[:, :c]
-                    else:
-                        pr = (s_g[:, x:x + 1]
-                              - sup[:, x:x + 1] * p)      # [M, 1]
-                        res = jnp.where(pr == 0, seg[:, :c], 0.0)
-                        for q in range(1, p):
-                            res = res + jnp.where(
-                                pr == q, seg[:, q * c:(q + 1) * c], 0.0)
-                    gth_ref[row0:row0 + M, band:band + c] = res.astype(
-                        gth_ref.dtype)
 
-        out_ref[:] = jax.lax.dot(
-            gth_ref[:].astype(w_ref.dtype), w_ref[:],
-            preferred_element_type=jnp.float32).astype(out_dtype)
+            @pl.when(hit_ref[t * g + gi] > 0)
+            def _(gi=gi):
+                acc_ref[:] += jax.lax.dot(
+                    gth_ref[:].astype(w_ref.dtype), w_ref[gi],
+                    preferred_element_type=jnp.float32)
+
+        out_ref[:] = acc_ref[:].astype(out_dtype)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kc", "g", "j", "p", "vps", "nt", "out_dtype"))
-def _banded_call_fwd(table, slots, b0, wflat, kc, g, j, p, vps, nt,
-                     out_dtype):
-    """table [B*Vps, 128] lane-packed (HBM-resident); slots
-    [B*NT, M, K] int32; b0 [B*NT, G, J] int32 (global super-row
-    starts, -1 absent); wflat [K*C, Cout].  Returns [B*NT*M, Cout]."""
+    static_argnames=("kx", "g", "vp_blocks", "t_per_b", "interpret",
+                     "out_dtype"))
+def _banded_call_fused(table, slots, bidx, hit, wg, kx, g, vp_blocks,
+                       t_per_b, out_dtype, interpret=False):
+    """Fused-tile kernel: grid (B*T,), all offset-triples of a tile in
+    ONE grid step.  table [B*Vp, C]; slots [BT, M, K] int32 (miss =
+    Vin); bidx [BT, G, J]; hit [BT, G]; wg [G, kx*C, Cout]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    cout = wflat.shape[-1]
-    bnt, _, k = slots.shape
-    c = wflat.shape[0] // k
-    kt = choose_kt(g, j, k, c, cout, table.dtype.itemsize, kc)
-    steps = -(-bnt // kt)
-    pad = steps * kt - bnt
-    if pad:
-        # padding tiles: b0 = -1 (all windows absent -> zero rows)
-        slots = jnp.concatenate(
-            [slots, jnp.zeros((pad, M, k), slots.dtype)], axis=0)
-        b0 = jnp.concatenate(
-            [b0, jnp.full((pad, g, j), -1, b0.dtype)], axis=0)
-    slots = slots.reshape(steps, kt, M, k)
+    _, c = table.shape
+    cout = wg.shape[-1]
+    bt, _, k = slots.shape
+
+    def win_spec(gi, j):
+        return pl.BlockSpec(
+            (BLK, c),
+            lambda ti, bi, hi, gi=gi, j=j: (
+                bi[(ti * g + gi) * WIN_BLOCKS + j], 0),
+            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,      # b0 (flat 1-D)
-        grid=(steps,),
+        num_scalar_prefetch=2,      # bidx, hit (flat 1-D: see kernel)
+        grid=(bt,),
         in_specs=[
-            pl.BlockSpec((1, kt, M, k),
-                         lambda n, b0_: (n, 0, 0, 0),
+            pl.BlockSpec((1, M, k),
+                         lambda ti, bi, hi: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * c, cout),
-                         lambda n, b0_: (0, 0),
+            pl.BlockSpec((g, kx * c, cout),
+                         lambda ti, bi, hi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # table: HBM/VMEM
-        ],
-        out_specs=pl.BlockSpec((kt * M, cout),
-                               lambda n, b0_: (n, 0),
+        ] + [win_spec(gi, j) for gi in range(g)
+             for j in range(WIN_BLOCKS)],
+        out_specs=pl.BlockSpec((M, cout),
+                               lambda ti, bi, hi: (ti, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, kt, g, j, BLK, BLK), table.dtype),
-            pltpu.VMEM((kt * M, k * c), table.dtype),
-            pltpu.VMEM((kc * M, BLK), table.dtype),
-            pltpu.VMEM((kc * M, BLK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, kt, g, j)),
-        ],
+        scratch_shapes=[pltpu.VMEM((M, cout), jnp.float32),
+                        pltpu.VMEM((M, kx * c), jnp.float32)],
     )
-    out = pl.pallas_call(
-        _make_fwd_kernel(kc, g, c, cout, j, p, out_dtype, vps, nt, kt),
+    return pl.pallas_call(
+        _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((steps * kt * M, cout),
-                                       out_dtype),
+        out_shape=jax.ShapeDtypeStruct((bt * M, cout), out_dtype),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(b0.reshape(-1), slots, wflat, table)
-    return out[:bnt * M]
-
-
-def _pack_table(features, vp, c, p, vin_rows):
-    """[B, Vin, C] -> lane-packed [B*Vps, 128] with zero padding (the
-    miss row v_in is inside the zero pad)."""
-    b = features.shape[0]
-    table = jnp.zeros((b, vp, c), features.dtype).at[
-        :, :vin_rows].set(features)
-    return table.reshape(b * (vp // p), p * c)
-
-
-def _plan_local_views(plan: BandedPlan):
-    """Per-example views of the kernel-layout plan arrays: slots
-    [B, NT*M, K] and b0 [B, NT, G, J] (example-local, -1 absent)."""
-    b, vout, k, kc, g, nt, v_in, vp, j, p = plan.shape
-    s = plan.slots.reshape(b, nt * M, k)
-    b0 = plan.b0.reshape(b, nt, g, j)
-    return s, b0
-
-
-def _covered_mask(plan: BandedPlan):
-    """[B, NT*M, K] bool: slot is valid and inside one of its
-    cluster's windows (the exact coverage the kernel computes)."""
-    b, vout, k, kc, g, nt, v_in, vp, j, p = plan.shape
-    s, b0 = _plan_local_views(plan)
-    sup = s // p
-    b0r = jnp.repeat(b0, kc, axis=-2).reshape(b, 1, nt, k, j)
-    supr = sup.reshape(b, nt, M, k).transpose(0, 2, 1, 3)[..., None]
-    cov = ((b0r >= 0) & (supr >= b0r) & (supr < b0r + BLK)).any(-1)
-    cov = cov.transpose(0, 2, 1, 3).reshape(b, nt * M, k)
-    return cov & (s < v_in)
-
-
-def _banded_apply_reference(features, plan: BandedPlan, weights):
-    """Exact XLA twin of the Pallas kernel (gather by slots, window
-    gating, miss -> zero row); used off-TPU and as the parity oracle."""
-    b, vout, k, kc, g, nt, v_in, vp, j, p = plan.shape
-    _, vin_rows, c = features.shape
-    cout = weights.shape[-1]
-    dtype = features.dtype
-
-    table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
-    s, _ = _plan_local_views(plan)
-    in_win = _covered_mask(plan)
-    slot_eff = jnp.where(in_win, s, v_in)              # v_in row is zero
-    gathered = jnp.take_along_axis(
-        table, slot_eff.reshape(b, nt * M * k, 1), axis=1
-    ).reshape(b, nt * M, k * c)
-    out = jax.lax.dot_general(
-        gathered, weights.astype(dtype).reshape(k * c, cout),
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype)
-    return out[:, :vout]
+    )(bidx.reshape(-1), hit.reshape(-1), slots, wg,
+      *([table] * (g * WIN_BLOCKS)))
 
 
 def _cor_contrib(table, plan, weights, vp, k, c, cout, dtype):
@@ -488,26 +325,22 @@ def _cor_contrib(table, plan, weights, vp, k, c, cout, dtype):
 
 def _banded_apply(features, plan: BandedPlan, weights, interpret):
     """Forward impl (no VJP): features [B, Vin, C] -> [B, Vout, Cout]."""
-    b, vout, k, kc, g, nt, v_in, vp, j, p = plan.shape
+    b, vout, k, kx, g, t, v_in, vp = plan.shape
     _, vin_rows, c = features.shape
     cout = weights.shape[-1]
     dtype = features.dtype
-    assert p * c == 128 or p == 1, (p, c)
 
-    if interpret:
-        out = _banded_apply_reference(features, plan, weights)
-    else:
-        packed = _pack_table(features, vp, c, p, vin_rows)
-        wflat = weights.astype(dtype).reshape(k * c, cout)
-        out = _banded_call_fwd(
-            packed, plan.slots, plan.b0, wflat,
-            kc=kc, g=g, j=j, p=p, vps=vp // p, nt=nt, out_dtype=dtype)
-        out = out.reshape(b, nt * M, cout)[:, :vout]
+    table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
+    wg = weights.astype(dtype).reshape(g, kx * c, cout)
+    out = _banded_call_fused(
+        table.reshape(b * vp, c), plan.slots, plan.bidx, plan.hit, wg,
+        kx=kx, g=g, vp_blocks=vp // BLK, t_per_b=t, out_dtype=dtype,
+        interpret=interpret)
+    out = out.reshape(b, t * M, cout)[:, :vout]
 
-    # CSR corrections for the slots no window covers
+    # CSR corrections for out-of-window entries
     r = plan.cor_out.shape[1]
     if r:
-        table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
         contrib = _cor_contrib(table, plan, weights, vp, k, c, cout,
                                dtype)
 
@@ -522,203 +355,128 @@ def _banded_apply(features, plan: BandedPlan, weights, interpret):
     return out
 
 
-# ---------------------------------------------------------------------------
-# Weight-gradient kernel
-# ---------------------------------------------------------------------------
-
-
-def _make_dw_kernel(kc, g, c, cout, j, p, vps, nt, kt):
+def _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(b0_ref, s_ref, dout_ref, table_ref, dw_ref,
-               win_ref, gth_ref, ohm_ref, acc_ref, sems):
-        n = pl.program_id(0)
-        nsteps = pl.num_programs(0)
+    def kernel(*refs):
+        bidx_ref, hit_ref, s_ref, dout_ref = refs[:4]
+        win_refs = refs[4:4 + g * WIN_BLOCKS]
+        dw_ref = refs[4 + g * WIN_BLOCKS]
+        gth_ref = refs[4 + g * WIN_BLOCKS + 1]
+        t = pl.program_id(0)
 
-        def b0_at(step, kt_i, g_i, w):
-            return b0_ref[((step * kt + kt_i) * g + g_i) * j + w]
-
-        def dma(step, parity, kt_i, g_i, w):
-            # b0 is example-local; the packed table is [B*Vps, 128].
-            # (q * SUP_ALIGN) form: see the forward kernel.
-            q = ((b0_at(step, kt_i, g_i, w) // SUP_ALIGN)
-                 + ((step * kt + kt_i) // nt) * (vps // SUP_ALIGN))
-            return pltpu.make_async_copy(
-                table_ref.at[pl.ds(q * SUP_ALIGN, BLK)],
-                win_ref.at[parity, kt_i, g_i, w],
-                sems.at[parity, kt_i, g_i, w])
-
-        def start_all(step, parity):
-            for kt_i in range(kt):
-                for g_i in range(g):
-                    for w in range(j):
-                        @pl.when(b0_at(step, kt_i, g_i, w) >= 0)
-                        def _():
-                            dma(step, parity, kt_i, g_i, w).start()
-
-        @pl.when(n == 0)
+        @pl.when(t == 0)
         def _():
             dw_ref[:] = jnp.zeros_like(dw_ref)
-            start_all(0, 0)
 
-        @pl.when(n + 1 < nsteps)
-        def _():
-            start_all(n + 1, (n + 1) % 2)
-
-        par = n % 2
-        tdt = win_ref.dtype
         iota = jax.lax.broadcasted_iota(jnp.int32, (M, BLK), 1)
+        dn = (((1,), (0,)), ((), ()))
 
-        for kt_i in range(kt):
-            for g_i in range(g):
-                s_g = s_ref[0, kt_i, :, g_i * kc:(g_i + 1) * kc]
-                sup = s_g // p if p > 1 else s_g
-                acc_ref[:] = jnp.zeros_like(acc_ref)
-                for w in range(j):
-                    b0w = b0_at(n, kt_i, g_i, w)
+        for gi in range(g):
+            wins = win_refs[gi * WIN_BLOCKS:(gi + 1) * WIN_BLOCKS]
 
-                    @pl.when(b0w >= 0)
-                    def _():
-                        dma(n, par, kt_i, g_i, w).wait()
-                        rel = sup - b0w
-                        for x in range(kc):
-                            ohm_ref[x * M:(x + 1) * M, :] = (
-                                rel[:, x:x + 1] == iota).astype(tdt)
-                        acc_ref[:] += jax.lax.dot(
-                            ohm_ref[:], win_ref[par, kt_i, g_i, w],
-                            preferred_element_type=jnp.float32)
-                row0 = kt_i * M
-                for x in range(kc):
-                    band = (g_i * kc + x) * c
-                    seg = acc_ref[x * M:(x + 1) * M, :]
-                    if p == 1:
-                        res = seg[:, :c]
-                    else:
-                        pr = s_g[:, x:x + 1] - sup[:, x:x + 1] * p
-                        res = jnp.where(pr == 0, seg[:, :c], 0.0)
-                        for q in range(1, p):
-                            res = res + jnp.where(
-                                pr == q, seg[:, q * c:(q + 1) * c], 0.0)
-                    gth_ref[row0:row0 + M, band:band + c] = res.astype(
-                        gth_ref.dtype)
+            @pl.when(hit_ref[t * g + gi] > 0)
+            def _(gi=gi):
+                gth_ref[:] = jnp.zeros_like(gth_ref)
 
-        # dW += gathered^T @ dout for this step's KT*M rows
-        dw_ref[:] += jax.lax.dot_general(
-            gth_ref[:].astype(dout_ref.dtype), dout_ref[:],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            for j in range(WIN_BLOCKS):
+                @pl.when(hit_ref[t * g + gi] > j)
+                def _(gi=gi, j=j, wins=wins):
+                    base = (bidx_ref[(t * g + gi) * WIN_BLOCKS + j]
+                            - (t // t_per_b) * vp_blocks) * BLK
+                    wj = wins[j][:]
+                    for x in range(kx):
+                        col = gi * kx + x
+                        rel = s_ref[0, :, col:col + 1] - base
+                        ohm = (rel == iota).astype(wj.dtype)
+                        gth_ref[:, x * c:(x + 1) * c] += (
+                            jax.lax.dot_general(
+                                ohm, wj, dn,
+                                preferred_element_type=jnp.float32))
+
+            @pl.when(hit_ref[t * g + gi] > 0)
+            def _(gi=gi):
+                # dW_g += gathered^T @ dout_tile
+                dw_ref[gi] += jax.lax.dot_general(
+                    gth_ref[:].astype(dout_ref.dtype), dout_ref[:],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kc", "g", "j", "p", "vps", "nt", "c"))
-def _banded_dw_call(table, dout_rows, slots, b0, kc, g, j, p, vps, nt,
-                    c):
-    """table [B*Vps, 128] lane-packed, dout_rows [B*NT*M, Cout]
-    -> [K*C, Cout] f32.
+    static_argnames=("kx", "g", "cout", "vp_blocks", "t_per_b",
+                     "interpret"))
+def _banded_dw_call(table, dout_rows, slots, bidx, hit, kx, g, cout,
+                    vp_blocks, t_per_b, interpret=False):
+    """table [B*Vp, C], dout_rows [B*T*M, Cout] -> [G, kx*C, Cout] f32.
 
-    Same window structure as the forward call; the [K*C, Cout]
+    Same grid/window structure as the forward call; the [G, kx*C, Cout]
     accumulator lives in one VMEM-resident output block across the
     sequential grid (index_map constant)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    cout = dout_rows.shape[-1]
-    bnt, _, k = slots.shape
-    kt = choose_kt(g, j, k, c, cout, table.dtype.itemsize, kc)
-    steps = -(-bnt // kt)
-    pad = steps * kt - bnt
-    if pad:
-        slots = jnp.concatenate(
-            [slots, jnp.zeros((pad, M, k), slots.dtype)], axis=0)
-        b0 = jnp.concatenate(
-            [b0, jnp.full((pad, g, j), -1, b0.dtype)], axis=0)
-        dout_rows = jnp.concatenate(
-            [dout_rows,
-             jnp.zeros((pad * M, cout), dout_rows.dtype)], axis=0)
-    slots = slots.reshape(steps, kt, M, k)
+    _, c = table.shape
+    bt, _, k = slots.shape
+
+    def win_spec(gi, j):
+        return pl.BlockSpec(
+            (BLK, c),
+            lambda ti, bi, hi, gi=gi, j=j: (
+                bi[(ti * g + gi) * WIN_BLOCKS + j], 0),
+            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(steps,),
+        num_scalar_prefetch=2,      # bidx, hit (flat 1-D: see kernel)
+        grid=(bt,),
         in_specs=[
-            pl.BlockSpec((1, kt, M, k),
-                         lambda n, b0_: (n, 0, 0, 0),
+            pl.BlockSpec((1, M, k),
+                         lambda ti, bi, hi: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt * M, cout),
-                         lambda n, b0_: (n, 0),
+            pl.BlockSpec((M, cout),
+                         lambda ti, bi, hi: (ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((k * c, cout),
-                               lambda n, b0_: (0, 0),
+        ] + [win_spec(gi, j) for gi in range(g)
+             for j in range(WIN_BLOCKS)],
+        out_specs=pl.BlockSpec((g, kx * c, cout),
+                               lambda ti, bi, hi: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, kt, g, j, BLK, BLK), table.dtype),
-            pltpu.VMEM((kt * M, k * c), table.dtype),
-            pltpu.VMEM((kc * M, BLK), table.dtype),
-            pltpu.VMEM((kc * M, BLK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, kt, g, j)),
-        ],
+        scratch_shapes=[pltpu.VMEM((M, kx * c), jnp.float32)],
     )
     return pl.pallas_call(
-        _make_dw_kernel(kc, g, c, cout, j, p, vps, nt, kt),
+        _make_dw_kernel(kx, g, c, cout, vp_blocks, t_per_b),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k * c, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, kx * c, cout), jnp.float32),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(b0.reshape(-1), slots, dout_rows, table)
-
-
-def _banded_dw_reference(features, dout, plan: BandedPlan):
-    """Exact XLA twin of the dw kernel (window-covered entries only)."""
-    b, vout, k, kc, g, nt, v_in, vp, j, p = plan.shape
-    _, vin_rows, c = features.shape
-    cout = dout.shape[-1]
-    dtype = features.dtype
-
-    table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
-    s, _ = _plan_local_views(plan)
-    in_win = _covered_mask(plan)
-    slot_eff = jnp.where(in_win, s, v_in)
-    gathered = jnp.take_along_axis(
-        table, slot_eff.reshape(b, nt * M * k, 1), axis=1
-    ).reshape(b, nt * M, k * c)
-    dout_pad = jnp.zeros((b, nt * M, cout), dtype).at[:, :vout].set(dout)
-    return jax.lax.dot_general(
-        gathered, dout_pad,
-        (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).sum(0)  # [K*C, Cout]
+    )(bidx.reshape(-1), hit.reshape(-1), slots, dout_rows,
+      *([table] * (g * WIN_BLOCKS)))
 
 
 def _banded_dw(features, dout, plan: BandedPlan, interpret):
     """Weight gradient: dW[k] = sum_o feat[slots[o, k]]^T dout[o],
     computed on the MXU with the same windows as the forward kernel
     plus the CSR correction entries. Returns [K, Cin, Cout] float32."""
-    b, vout, k, kc, g, nt, v_in, vp, j, p = plan.shape
+    b, vout, k, kx, g, t, v_in, vp = plan.shape
     _, vin_rows, c = features.shape
     cout = dout.shape[-1]
     dtype = features.dtype
 
-    if interpret:
-        dwf = _banded_dw_reference(features, dout, plan)
-    else:
-        packed = _pack_table(features, vp, c, p, vin_rows)
-        dout_pad = jnp.zeros((b, nt * M, cout), dtype).at[:, :vout].set(
-            dout)
-        dwf = _banded_dw_call(
-            packed, dout_pad.reshape(b * nt * M, cout),
-            plan.slots, plan.b0, kc=kc, g=g, j=j, p=p, vps=vp // p,
-            nt=nt, c=c)                               # [K*C, Cout] f32
-    dw = dwf.reshape(k, c, cout)
+    table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
+    dout_pad = jnp.zeros((b, t * M, cout), dtype).at[:, :vout].set(dout)
+    dwg = _banded_dw_call(
+        table.reshape(b * vp, c), dout_pad.reshape(b * t * M, cout),
+        plan.slots, plan.bidx, plan.hit, kx=kx, g=g, cout=cout,
+        vp_blocks=vp // BLK, t_per_b=t,
+        interpret=interpret)                      # [G, kx*C, Cout] f32
+    dw = dwg.reshape(g * kx, c, cout)[:k]
 
     r = plan.cor_out.shape[1]
     if r:
-        table = jnp.zeros((b, vp, c), dtype).at[:, :vin_rows].set(features)
-
         def one(args):
             tab, dob, ci, ck, co = args
             rows = tab[jnp.clip(ci, 0, vp - 1)]          # [R, C]
@@ -735,8 +493,8 @@ def _banded_dw(features, dout, plan: BandedPlan, interpret):
             return jnp.stack(parts)                      # [K, C, Cout]
 
         dw_cor = jax.lax.map(
-            one, (table, dout, plan.cor_in, plan.cor_k,
-                  plan.cor_out)).sum(0)
+            one, (table, dout_pad[:, :vout],
+                  plan.cor_in, plan.cor_k, plan.cor_out)).sum(0)
         dw = dw + dw_cor
     return dw
 
@@ -760,30 +518,19 @@ def _float0_like(tree):
 def _banded_core_bwd(interpret, res, dout):
     features, weights, plans = res
     plan, bwd_plan = plans
-    b, vout, k, kc, g, nt, v_in, vp, j, p = plan.shape
+    b, vout, k, kx, g, t, v_in, vp = plan.shape
     vin_rows = features.shape[1]
     dout = dout.astype(features.dtype)
     if bwd_plan is None:
-        # submanifold: the rulebook is its own transpose under kernel
+        # submanifold: the plan is its own transpose under kernel
         # mirroring (full-cube offsets: slots[o,k]=i <=> slots[i,K-1-k]=o)
-        # but the gather width changes to Cout, so rebuild the plan at
-        # the matching pack factor when it differs.
         if vout != vin_rows:
             raise ValueError(
                 "banded_conv backward: strided plans (vout != vin) need "
                 "an explicit bwd_plan (transpose_rulebook + "
                 "build_banded_plan / host plans)")
-        cout = weights.shape[-1]
-        pb = pack_factor(cout)
-        if pb == p:
-            bwd = plan
-        else:
-            s, _ = _plan_local_views(plan)
-            bwd = build_banded_plan(
-                s[:, :vout], None, v_in=v_in, kc=kc, p=pb,
-                cor_capacity=plan.cor_out.shape[1])
         w_b = jnp.flip(weights, axis=0).transpose(0, 2, 1)  # [K,Cout,Cin]
-        dfeat = _banded_apply(dout, bwd, w_b, interpret)
+        dfeat = _banded_apply(dout, plan, w_b, interpret)
     else:
         w_b = weights.transpose(0, 2, 1)
         dfeat = _banded_apply(dout, bwd_plan, w_b, interpret)
@@ -798,15 +545,14 @@ _banded_core.defvjp(_banded_core_fwd, _banded_core_bwd)
 def banded_conv(features, plan: BandedPlan, weights, bias=None,
                 interpret=None, bwd_plan: BandedPlan = None):
     """features [B, Vin, C] (rows sorted by linear id, padding rows
-    zero), plan from :func:`build_banded_plan` (with c=C), weights
-    [K, Cin, Cout].  Returns [B, Vout, Cout] in the features dtype
-    (f32 accumulation).
+    zero), plan from :func:`build_banded_plan`, weights [K, Cin, Cout].
+    Returns [B, Vout, Cout] in the features dtype (f32 accumulation).
 
     Differentiable: subm plans (Vout == Vin) self-transpose; strided
     plans need ``bwd_plan`` (see :func:`transpose_rulebook`) before
     gradients flow — the error is raised at backward trace time.
 
-    interpret: None = auto (exact XLA reference path off TPU).
+    interpret: None = auto (Pallas interpret mode off TPU).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -862,22 +608,22 @@ def host_transpose_rulebook(slots, v_in, vin_rows=None):
 # Host-side banded planning.
 #
 # The kernel consumes the raw rulebook, so the host plan is only the
-# per-(tile, cluster) window start super-rows plus the correction
+# per-(tile, group) window indices / block counts plus the correction
 # list — a few KB next to the rulebook the loader ships anyway.
 # ---------------------------------------------------------------------------
 
 
-def host_banded_arrays(slots, v_in, kc, c=None, cor_capacity=8192,
-                       j=J_DEFAULT, p=None):
+def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
     """Host planner: slots [Vout, K] (miss >= v_in) -> dict of
     per-example arrays (unbatched; the loader stacks them and
     :func:`plan_from_host` assembles the device BandedPlan together
     with the rulebook):
 
-      b0  [T, G, J] int32       (window start super-rows per cluster,
-                                 16-aligned, -1 = absent;
-                                 T = ceil(Vout/M) tiles)
-      cor [3, R] int32          ((out_row, in_slot, k); out_row ==
+      bidx [T, G, J] int32      (window block index per block; unused
+                                 entries repeat the previous tile's so
+                                 the Pallas pipeline skips the re-DMA)
+      hit  [T, G] int32         (number of window blocks, 0..J)
+      cor  [3, R] int32         ((out_row, in_slot, k); out_row ==
                                  Vout marks padding)
       cor_count [1] int32       (TRUE count, overflow observability)
 
@@ -886,47 +632,38 @@ def host_banded_arrays(slots, v_in, kc, c=None, cor_capacity=8192,
     """
     from ..native import sparse_plan as _native
 
-    if p is None:
-        p = pack_factor(c) if c is not None else 1
     if _native.available():
-        return _native.banded_plan(slots, v_in, kc, cor_capacity, j, p)
-    return _host_banded_arrays_np(slots, v_in, kc, cor_capacity, j, p)
+        return _native.banded_plan(slots, v_in, kx, cor_capacity)
+    return _host_banded_arrays_np(slots, v_in, kx, cor_capacity)
 
 
-def _host_banded_arrays_np(slots, v_in, kc, cor_capacity=8192,
-                           j=J_DEFAULT, p=1):
+def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
     """numpy twin of the C++ banded planner (oracle + fallback)."""
     vout, k = slots.shape
-    g = _grouping(k, kc)
+    g = _grouping(k, kx)
     t = -(-vout // M)
-    vp = table_pad(v_in, p)
-    vps = vp // p
+    vp = table_pad(v_in)
     big = np.int32(2 ** 30)
     s = slots.astype(np.int32, copy=True)
     s[s >= v_in] = big
     if t * M - vout:
         s = np.concatenate(
             [s, np.full((t * M - vout, k), big, np.int32)], 0)
-    sk = s.reshape(t, M, g, kc)
-    sup = np.where(sk < big, sk // p, big)
+    sk = s.reshape(t, M, g, kx)
     valid = sk < big
+    gmin = sk.min(axis=(1, 3))                      # [T, G]
+    b0 = np.clip(gmin // BLK, 0, vp // BLK - WIN_BLOCKS)
+    rel = sk - (b0 * BLK)[:, None, :, None]
+    in_win = valid & (rel < WIN_BLOCKS * BLK)
+    relmax = np.where(in_win, rel, -1).max(axis=(1, 3))
+    hit = np.where(relmax >= 0, relmax // BLK + 1, 0)
 
-    b0s = np.full((t, g, j), -1, np.int32)
-    covered = np.zeros(sup.shape, bool)
-    floor = np.zeros((t, g), np.int32)
-    for w in range(j):
-        mval = np.where(valid & ~covered, sup, big).min(axis=(1, 3))
-        b0 = np.maximum((mval // SUP_ALIGN) * SUP_ALIGN, floor)
-        b0 = np.minimum(b0, vps - BLK)
-        present = (mval < big) & (b0 >= floor)
-        cov_w = (valid & (sup >= b0[:, None, :, None])
-                 & (sup < (b0 + BLK)[:, None, :, None])
-                 & present[:, None, :, None])
-        covered |= cov_w
-        b0s[:, :, w] = np.where(present, b0, -1)
-        floor = np.where(present, b0 + BLK, floor)
+    jarange = np.arange(WIN_BLOCKS, dtype=np.int32)
+    used = hit[..., None] > jarange                 # [T, G, J]
+    cand = b0[..., None].astype(np.int32) + jarange
+    bidx = _fill_unused_bidx_np(used, cand)
 
-    need = valid & ~covered                         # [T, M, G, KC]
+    need = valid & ~in_win                          # [T, M, G, KX]
     cor_count = int(need.sum())
     r = cor_capacity
     cor = np.zeros((3, r), np.int32)
@@ -935,60 +672,51 @@ def _host_banded_arrays_np(slots, v_in, kc, cor_capacity=8192,
     n = min(len(flat), r)
     if n:
         fl = flat[:n]
-        kk = fl % (g * kc)
-        tm = fl // (g * kc)
+        gk = fl % (g * kx)
+        tm = fl // (g * kx)
         cor[0, :n] = tm
         cor[1, :n] = sk.reshape(-1)[fl]
-        cor[2, :n] = kk                             # (g, kc) flat == k
+        cor[2, :n] = gk                             # (g, kx) flat == k
     return {
-        "b0": b0s,
+        "bidx": bidx.astype(np.int32),
+        "hit": hit.astype(np.int32),
         "cor": cor,
         "cor_count": np.array([cor_count], np.int32),
     }
 
 
-def plan_from_host(slots, b0, cor, cor_count, v_in, kc, c=None,
-                   vout=None, found=None, j=None, p=None):
+def plan_from_host(slots, bidx, hit, cor, cor_count, v_in, kx,
+                   vout=None, found=None):
     """Assemble a BandedPlan from loader-stacked host arrays:
     slots [B, Vout, K] (the rulebook, any int dtype, miss >= v_in),
-    b0 [B, T, G, J] (local super-row starts, -1 absent), cor [B, 3, R],
-    cor_count [B, 1].  c: gather channel width (must match the width
-    the host planner was given).
+    bidx [B, T, G, J], hit [B, T, G], cor [B, 3, R], cor_count [B, 1].
 
     found: optional [B, Vout, K] bool (device-built rulebooks whose
     miss slots are arbitrary searchsorted rows)."""
-    if p is None:
-        p = pack_factor(c) if c is not None else 1
-    b, t_raw, g, jj = b0.shape
-    if j is None:
-        j = jj
-    k = g * kc
-    vp = table_pad(v_in, p)
-    vps = vp // p
+    b, t, g = hit.shape
+    k = g * kx
+    vp = table_pad(v_in)
     vout_rows = slots.shape[1]
     vout_cap = vout if vout is not None else vout_rows
-    nt = -(-vout_rows // M)
     s = slots.astype(jnp.int32)
     miss = s >= v_in
     if found is not None:
         miss = miss | ~found
     s = jnp.where(miss, jnp.int32(v_in), s)
-    pad_rows = nt * M - vout_rows
+    pad_rows = t * M - vout_rows
     if pad_rows:
         s = jnp.concatenate(
             [s, jnp.full((b, pad_rows, k), v_in, jnp.int32)], axis=1)
-    slots_t = s.reshape(b * nt, M, k)
-    b0 = b0.astype(jnp.int32)
-    if nt > t_raw:
-        b0 = jnp.concatenate(
-            [b0, jnp.full((b, nt - t_raw, g, j), -1, jnp.int32)],
-            axis=1)
+    bidx = bidx.astype(jnp.int32) + (
+        jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+        * (vp // BLK))
     return BandedPlan(
-        slots=slots_t,
-        b0=b0.reshape(b * nt, g, j),
+        slots=s.reshape(b * t, M, k),
+        bidx=bidx.reshape(b * t, g, WIN_BLOCKS),
+        hit=hit.astype(jnp.int32).reshape(b * t, g),
         cor_out=cor[:, 0, :].astype(jnp.int32),
         cor_in=cor[:, 1, :].astype(jnp.int32),
         cor_k=cor[:, 2, :].astype(jnp.int32),
         cor_count=cor_count.reshape(b, -1)[:, 0].astype(jnp.int32),
-        shape=(b, vout_cap, k, kc, g, nt, v_in, vp, j, p),
+        shape=(b, vout_cap, k, kx, g, t, v_in, vp),
     )

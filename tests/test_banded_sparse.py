@@ -44,9 +44,8 @@ def test_banded_subm_matches_gather(kernel_size):
     ref = sparse.subm_conv(grid, rulebook, w, bias).features
 
     slots, found = rulebook
-    plan = bs.build_banded_plan(
-        slots, found, v_in=v,
-        kc=kernel_size[1] * kernel_size[2], cor_capacity=512)
+    plan = bs.build_banded_plan(slots, found, v_in=v,
+                               kx=kernel_size[2], cor_capacity=512)
     out = bs.banded_conv(grid.features, plan, w, bias, interpret=True)
     # padding rows: reference zeroes them (valid mask); banded adds bias
     # everywhere -- compare active rows only
@@ -76,9 +75,8 @@ def test_banded_downsample_matches_gather():
     vout = out_grid.lin.shape[-1]
     slots = slots.reshape(b, vout, k)
     found = found.reshape(b, vout, k)
-    plan = bs.build_banded_plan(slots, found, v_in=v,
-                                kc=kernel[1] * kernel[2],
-                                cor_capacity=1024)
+    plan = bs.build_banded_plan(slots, found, v_in=v, kx=kernel[2],
+                               cor_capacity=1024)
     out = bs.banded_conv(grid.features, plan, w, interpret=True)
     valid = np.asarray(out_grid.valid)
     np.testing.assert_allclose(
@@ -115,8 +113,8 @@ def test_banded_outlier_corrections():
 
     ref = sparse.subm_conv(grid, rulebook, w).features
     slots, found = rulebook
-    plan = bs.build_banded_plan(slots, found, v_in=v, kc=9,
-                                cor_capacity=16384)
+    plan = bs.build_banded_plan(slots, found, v_in=v, kx=3,
+                               cor_capacity=16384)
     assert int(jnp.max(plan.cor_count)) > 0, "test must exercise outliers"
     assert int(jnp.max(plan.cor_count)) <= 16384
     out = bs.banded_conv(grid.features, plan, w, interpret=True)
@@ -140,7 +138,7 @@ def test_correction_overflow_is_counted():
     slots_np[0, rows, ks] = (rows + n_act // 2) % n_act
     found_np[0, rows, ks] = True
     plan = bs.build_banded_plan(
-        jnp.asarray(slots_np), jnp.asarray(found_np), v_in=v, kc=9,
+        jnp.asarray(slots_np), jnp.asarray(found_np), v_in=v, kx=3,
         cor_capacity=4)
     # true count is reported even when > capacity
     assert int(jnp.max(plan.cor_count)) > 4
@@ -242,7 +240,7 @@ def test_banded_subm_grads_match_gather():
     k = int(np.prod(kernel))
     w = jnp.asarray(rng.randn(k, c, cout).astype(np.float32) * 0.1)
     slots, found = rulebook
-    plan = bs.build_banded_plan(slots, found, v_in=v, kc=9,
+    plan = bs.build_banded_plan(slots, found, v_in=v, kx=3,
                                 cor_capacity=512)
     tgt = jnp.asarray(rng.randn(b, v, cout).astype(np.float32))
     valid = grid.valid[..., None]
@@ -285,7 +283,7 @@ def test_banded_down_grads_match_gather():
     vout = out_grid.lin.shape[-1]
     slots = slots.reshape(b, vout, k)
     found = found.reshape(b, vout, k)
-    plan = bs.build_banded_plan(slots, found, v_in=v, kc=9,
+    plan = bs.build_banded_plan(slots, found, v_in=v, kx=3,
                                 cor_capacity=1024)
     slots_t = bs.transpose_rulebook(slots, v_in=v)
     # numpy twin agrees
@@ -294,7 +292,7 @@ def test_banded_down_grads_match_gather():
         for i in range(b)])
     np.testing.assert_array_equal(np.asarray(slots_t), st_np)
     bwd_plan = bs.build_banded_plan(
-        jnp.asarray(slots_t), None, v_in=vout, kc=9, cor_capacity=1024)
+        jnp.asarray(slots_t), None, v_in=vout, kx=3, cor_capacity=1024)
 
     tgt = jnp.asarray(rng.randn(b, vout, cout).astype(np.float32))
     ovalid = out_grid.valid[..., None]
@@ -332,7 +330,7 @@ def test_banded_strided_grad_without_bwd_plan_raises():
     vout = out_grid.lin.shape[-1]
     plan = bs.build_banded_plan(
         slots.reshape(b, vout, 27), found.reshape(b, vout, 27),
-        v_in=v, kc=9, cor_capacity=256)
+        v_in=v, kx=3, cor_capacity=256)
     w = jnp.asarray(rng.randn(27, c, cout).astype(np.float32))
 
     def loss(feats):
@@ -350,24 +348,23 @@ def test_native_banded_planner_matches_numpy():
     if not native.available():
         pytest.skip("native library unavailable")
     rng = np.random.RandomState(7)
-    for vout, k, kc, v_in, density, cap, p in [
-            (1000, 27, 9, 1024, 0.6, 512, 1),
-            (1000, 27, 3, 1024, 0.6, 512, 2),
-            (130, 3, 1, 999, 0.9, 64, 8),
-            (3000, 27, 9, 2000, 1.0, 128, 4),  # overflow: count > cap
-            (128, 27, 9, 64, 0.5, 256, 2),
+    for vout, k, kx, v_in, density, cap in [
+            (1000, 27, 3, 1024, 0.6, 512),
+            (130, 3, 1, 999, 0.9, 64),
+            (3000, 27, 3, 2000, 1.0, 128),   # overflow: count > cap
+            (128, 27, 3, 64, 0.5, 256),
     ]:
         base = np.sort(rng.randint(0, v_in, size=(vout, 1)), axis=0)
         slots = np.clip(base + rng.randint(-400, 400, size=(vout, k)),
                         0, v_in + 50).astype(np.int32)
         slots[rng.rand(vout, k) > density] = v_in
-        a = bs._host_banded_arrays_np(slots, v_in=v_in, kc=kc,
-                                      cor_capacity=cap, j=2, p=p)
-        b = native.banded_plan(slots, v_in=v_in, kc=kc,
-                               cor_capacity=cap, j=2, p=p)
+        a = bs._host_banded_arrays_np(slots, v_in=v_in, kx=kx,
+                                      cor_capacity=cap)
+        b = native.banded_plan(slots, v_in=v_in, kx=kx,
+                               cor_capacity=cap)
         for key in a:
             np.testing.assert_array_equal(
-                a[key], b[key], err_msg=f"{(vout, k, kc, p)}: {key}")
+                a[key], b[key], err_msg=f"{(vout, k, kx)}: {key}")
         # transpose twin (strided-shape rulebook)
         st_native = native.transpose_rulebook(slots, v_in)
         st = np.full((v_in, k), vout, np.int32)

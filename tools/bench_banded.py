@@ -97,45 +97,44 @@ def main():
         if f"plan_subm{i}" in plan:
             cin = sc["subm_widths"][0]
             cout = next(op[1] for op in groups[i] if op[0] == "subm")
-            p = banded_sparse.pack_factor(cin)
-            kc = banded_sparse.choose_kc((3, 3, 3), cin)
             slots = plan[f"plan_subm{i}"].astype(np.int32)
             bp = banded_sparse.plan_from_host(
                 jnp.asarray(slots)[None],
-                jnp.asarray(plan[f"plan_bsub{i}_p{p}_b0"])[None],
-                jnp.asarray(plan[f"plan_bsub{i}_p{p}_cor"])[None],
-                jnp.asarray(plan[f"plan_bsub{i}_p{p}_cor_count"])[None],
-                v_in=v_in, kc=kc, c=cin)
+                jnp.asarray(plan[f"plan_bsub{i}_bidx"])[None],
+                jnp.asarray(plan[f"plan_bsub{i}_hit"])[None],
+                jnp.asarray(plan[f"plan_bsub{i}_cor"])[None],
+                jnp.asarray(plan[f"plan_bsub{i}_cor_count"])[None],
+                v_in=v_in, kx=3)
             feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
             w = jax.random.normal(key, (27, cin, cout), jnp.bfloat16)
             ms = scan_time(
                 lambda ft, w=w, bp=bp: banded_sparse.banded_conv(
                     ft, bp, w), feats, args.iters)
             t = -(-v_in // banded_sparse.M)
-            j = bp.shape[-2]
-            gmm = (t * 27 // kc * j * kc * banded_sparse.M
-                   * banded_sparse.BLK * banded_sparse.BLK * 2)
+            blocks = int(plan[f"plan_bsub{i}_hit"].sum())
+            gmm = (blocks * 3 * banded_sparse.M
+                   * banded_sparse.BLK * cin * 2)
             cmm = t * 27 * banded_sparse.M * cin * cout * 2
             tf = (gmm + cmm) / (ms * 1e-3) / 1e12
             print(f"scale{i} subm V={v_in} C={cin}->{cout} T={t} "
-                  f"kc={kc} P={p}: {ms:.3f} ms x{n_subm} "
-                  f"({tf:.1f} TF/s, "
-                  f"cor={int(plan[f'plan_bsub{i}_p{p}_cor_count'][0])})")
+                  f"blocks={blocks}: {ms:.3f} ms x{n_subm} "
+                  f"({tf:.1f} TF/s one-hot+gemm, "
+                  f"cor={int(plan[f'plan_bsub{i}_cor_count'][0])})")
             total_subm += ms * n_subm
         if f"plan_conv{i}" in plan:
             v_out = sc["out_cap"]
             kern = sc["down"][0]
             cin = sc["down_in_ch"]
             cout_d = sc["down_out_ch"]
-            kc = banded_sparse.choose_kc(kern, cin)
             k = int(np.prod(kern))
             slots = plan[f"plan_conv{i}"].astype(np.int32)
             bp = banded_sparse.plan_from_host(
                 jnp.asarray(slots)[None],
-                jnp.asarray(plan[f"plan_bconv{i}_b0"])[None],
+                jnp.asarray(plan[f"plan_bconv{i}_bidx"])[None],
+                jnp.asarray(plan[f"plan_bconv{i}_hit"])[None],
                 jnp.asarray(plan[f"plan_bconv{i}_cor"])[None],
                 jnp.asarray(plan[f"plan_bconv{i}_cor_count"])[None],
-                v_in=v_in, kc=kc, c=cin, vout=v_out)
+                v_in=v_in, kx=kern[2], vout=v_out)
             feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
             w = jax.random.normal(key, (k, cin, cout_d), jnp.bfloat16)
             ms = scan_time(

@@ -91,8 +91,7 @@ def main():
             slots, found = sparse.build_subm_rulebook(cur, kernel)
             ms = scan_time(
                 lambda s, f: banded_sparse.build_banded_plan(
-                    s, f, v_in=v, kc=banded_sparse.choose_kc(kernel, cin),
-                    c=cin),
+                    s, f, v_in=v, kx=kernel[2]),
                 (slots, found))
             print(f"scale{i} banded plan build (subm): {ms:.2f} ms")
             total += ms
@@ -141,8 +140,7 @@ def main():
             ms = scan_time(
                 lambda s, f: banded_sparse.build_banded_plan(
                     s.reshape(b, vout, k), f.reshape(b, vout, k),
-                    v_in=v, kc=banded_sparse.choose_kc(kernel, cin),
-                    c=cin),
+                    v_in=v, kx=kernel[2]),
                 (dslots, dfound))
             print(f"scale{i} banded plan build (down): {ms:.2f} ms")
             total += ms

@@ -2,10 +2,18 @@
 """In-graph repetition profiler for the car.fhd device program.
 
 Dispatch overhead on a 1-core tunneled host corrupts loop-of-dispatch
-timings (tools/profile_fhd.py measured middle-alone > full-forward).
-Here every measured region runs N times INSIDE one jitted lax.scan,
-with the iteration index folded into the input so XLA cannot CSE the
-iterations; one dispatch, one sync.
+timings of SMALL regions (per-conv, middle-alone).  Here every measured
+region runs N times INSIDE one jitted lax.scan: one dispatch, one sync.
+
+Anti-CSE/LICM contract: each iteration's inputs receive ``+ carry``
+where carry is the previous iteration's output reduced to a scalar and
+multiplied by zero.  The value is numerically zero, but XLA cannot fold
+``x * 0`` for floats (NaN/Inf semantics) so the body stays
+loop-VARIANT and serialized — while-loop LICM cannot hoist it.
+
+Self-check: the e2e scan number is cross-validated against a plain
+dispatch-loop timing of the same program (bench.py methodology); the
+two must agree within ~20% or the tool prints a loud warning.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/prof_scan.py
 """
@@ -28,40 +36,53 @@ from second_tpu.models.voxelnet import predict
 from second_tpu.utils.config_tool import read_config
 
 
-def scan_time(fn, args, iters=30, perturb=None):
+def scan_time(fn, args, iters=30):
     """Time fn(*args) run `iters` times inside ONE jitted scan.
 
-    perturb: name of the leaf in args[0..] to fold the iteration index
-    into (defaults to the first float array found) so iterations are
-    not CSE'd."""
+    The scan carry (prev output, reduced to a scalar, times zero) is
+    ADDED to the first float leaf of args each iteration: numerically a
+    no-op, but a true data dependency, so iterations serialize and
+    neither CSE nor while-loop LICM can collapse them."""
 
-    def body(carry, i):
-        a = list(args)
-        # fold i into the first float input (cheap, defeats CSE)
+    def body(carry, _):
+        done = [False]
+
         def tweak(x):
-            if isinstance(x, jnp.ndarray) and x.dtype in (
-                    jnp.float32, jnp.bfloat16):
-                return x + (i * 0).astype(x.dtype)
+            if (not done[0] and hasattr(x, "dtype")
+                    and jnp.issubdtype(x.dtype, jnp.floating)):
+                done[0] = True
+                return x + carry.astype(x.dtype)
             return x
-        # carry folds the previous output in, serializing iterations
-        a0 = jax.tree_util.tree_map(tweak, a[0]) if a else a
+
+        a = jax.tree_util.tree_map(tweak, list(args))
         out = fn(*a)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        dep = (leaf.ravel()[0].astype(jnp.float32) * 0 + carry * 0)
+        dep = leaf.ravel()[0].astype(jnp.float32) * 0.0
         return dep, None
 
     @jax.jit
     def run():
-        dep, _ = jax.lax.scan(
-            body, jnp.float32(0), jnp.arange(iters))
+        dep, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return dep
 
-    r = run()
-    np.asarray(r)  # compile+run once
+    np.asarray(run())  # compile+run once
     t0 = time.perf_counter()
     np.asarray(run())
     dt = time.perf_counter() - t0
     return dt / iters * 1e3
+
+
+def dispatch_time(fn, args, iters=30):
+    """bench.py-style dispatch loop over jit(fn): N dispatches, one
+    final sync (the cross-check for scan_time)."""
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
 def main():
@@ -111,12 +132,16 @@ def main():
     )(jax.random.PRNGKey(0), vx, npts, crd, plan)
 
     it = args.iters
-    ms = scan_time(
-        lambda v, a, b, c, p: predict(
-            spec, net.apply(v, a, b, c, sparse_plan=p),
-            {"anchors": anchors_b}),
-        (variables, vx, npts, crd, plan), it)
-    print(f"B={B} e2e(scan): {ms:.2f} ms  ({B / ms * 1e3:.1f} fps)")
+    e2e = lambda v, a, b, c, p: predict(
+        spec, net.apply(v, a, b, c, sparse_plan=p), {"anchors": anchors_b})
+    ms = scan_time(e2e, (variables, vx, npts, crd, plan), it)
+    ms_disp = dispatch_time(e2e, (variables, vx, npts, crd, plan), it)
+    agree = abs(ms - ms_disp) / max(ms, ms_disp)
+    print(f"B={B} e2e(scan): {ms:.2f} ms ({B / ms * 1e3:.1f} fps)   "
+          f"e2e(dispatch): {ms_disp:.2f} ms  [{agree * 100:.0f}% apart]")
+    if agree > 0.2:
+        print("WARNING: scan vs dispatch disagree >20% — treat the "
+              "per-phase numbers below with suspicion")
 
     ms_fwd = scan_time(
         lambda v, a, b, c, p: net.apply(v, a, b, c, sparse_plan=p),
@@ -147,18 +172,17 @@ def main():
     # per-conv cost: one banded conv per scale, subm + down
     from second_tpu.ops import banded_sparse
     x = vfeat
+    mid_sum = 0.0
     for i, sc in enumerate(scales):
         v_in = sc["in_cap"]
         cin = x.shape[-1]
         if sc["subm_kernels"]:
             kern = sc["subm_kernels"][0]
-            p = banded_sparse.pack_factor(cin)
-            kc = banded_sparse.choose_kc(kern, cin)
             pl_ = banded_sparse.plan_from_host(
-                plan[f"plan_subm{i}"], plan[f"plan_bsub{i}_p{p}_b0"],
-                plan[f"plan_bsub{i}_p{p}_cor"],
-                plan[f"plan_bsub{i}_p{p}_cor_count"],
-                v_in=v_in, kc=kc, c=cin)
+                plan[f"plan_subm{i}"], plan[f"plan_bsub{i}_bidx"],
+                plan[f"plan_bsub{i}_hit"], plan[f"plan_bsub{i}_cor"],
+                plan[f"plan_bsub{i}_cor_count"],
+                v_in=v_in, kx=kern[2])
             cout = sc["subm_widths"][-1]
             w = jnp.zeros((27, cin, cout), jnp.bfloat16)
             ms_c = scan_time(
@@ -166,18 +190,20 @@ def main():
                 (x, w), it)
             print(f"  scale{i} subm conv ({v_in}x{cin}->{cout}): "
                   f"{ms_c:.3f} ms")
+            mid_sum += ms_c * len([
+                op for op in sm._group_topology(
+                    sm.SpMiddleFHD.topology)[i] if op[0] == "subm"])
             x = jnp.zeros((B, v_in, cout), jnp.bfloat16)
         if sc["down"] is not None:
             kernel, stride, padding = sc["down"]
             k = int(np.prod(kernel))
             vout = sc["out_cap"]
             cin2 = x.shape[-1]
-            kc = banded_sparse.choose_kc(kernel, cin2)
             pl_ = banded_sparse.plan_from_host(
-                plan[f"plan_conv{i}"], plan[f"plan_bconv{i}_b0"],
-                plan[f"plan_bconv{i}_cor"],
-                plan[f"plan_bconv{i}_cor_count"], v_in=v_in, kc=kc,
-                c=cin2, vout=vout)
+                plan[f"plan_conv{i}"], plan[f"plan_bconv{i}_bidx"],
+                plan[f"plan_bconv{i}_hit"], plan[f"plan_bconv{i}_cor"],
+                plan[f"plan_bconv{i}_cor_count"], v_in=v_in, kx=kernel[2],
+                vout=vout)
             cout = sc["down_out_ch"]
             w = jnp.zeros((k, cin2, cout), jnp.bfloat16)
             ms_c = scan_time(
@@ -185,7 +211,10 @@ def main():
                 (x, w), it)
             print(f"  scale{i} down conv ({v_in}->{vout} x{cin2}->{cout}):"
                   f" {ms_c:.3f} ms")
+            mid_sum += ms_c
             x = jnp.zeros((B, vout, cout), jnp.bfloat16)
+    print(f"per-conv sum: {mid_sum:.2f} ms (middle measured whole: "
+          f"{ms_mid:.2f} ms)")
 
 
 if __name__ == "__main__":
