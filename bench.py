@@ -270,8 +270,19 @@ def bench_car_fhd_pipeline(batch=1, workers=6, frames=48):
 
 
 def main():
-    fhd_fps = bench_car_fhd()
-    print(f"# car.fhd e2e: {fhd_fps:.2f} frames/s/chip "
+    # fps-vs-batch: TPU throughput comes from batching; record the
+    # sweep and report the best as the headline number
+    fhd_by_batch = {}
+    for b in (1, 2):
+        try:
+            fhd_by_batch[b] = bench_car_fhd(batch=b)
+            print(f"# car.fhd e2e batch={b}: {fhd_by_batch[b]:.2f} "
+                  f"frames/s/chip")
+        except Exception as e:
+            print(f"# car.fhd batch={b} failed: {e!r}")
+    best_b = max(fhd_by_batch, key=fhd_by_batch.get)
+    fhd_fps = fhd_by_batch[best_b]
+    print(f"# car.fhd e2e: {fhd_fps:.2f} frames/s/chip at batch {best_b} "
           f"({fhd_fps / BASELINE_FPS:.2f}x the 25 fps baseline)")
     ncores = os.cpu_count() or 1
     try:
@@ -292,6 +303,9 @@ def main():
         "vs_baseline": round(pp_fps / BASELINE_FPS, 2),
         "car_fhd_fps": round(fhd_fps, 2),
         "car_fhd_vs_baseline": round(fhd_fps / BASELINE_FPS, 2),
+        "car_fhd_batch": best_b,
+        "car_fhd_fps_by_batch": {
+            str(k): round(v, 2) for k, v in fhd_by_batch.items()},
         "car_fhd_pipeline_fps": (
             round(pipe_fps, 2) if pipe_fps is not None else None),
         "car_fhd_plan_ms_per_core": (

@@ -26,7 +26,8 @@ def build(input_reader_config: schema.InputReader,
           quantize_points=False,
           compact_targets=None,
           banded_plans=False,
-          banded_bwd=False):
+          banded_bwd=False,
+          banded_cor_capacity=8192):
     """device_voxelize: ship the augmented point cloud instead of the
     padded voxel buffer; the jitted step voxelizes on device (PP-family
     only — ignored when the sparse middle's host planner is active).
@@ -116,6 +117,7 @@ def build(input_reader_config: schema.InputReader,
         sparse_plan_scales=sparse_plan_scales,
         sparse_plan_banded=banded_plans and sparse_plan_scales is not None,
         sparse_plan_banded_bwd=banded_bwd and training,
+        sparse_plan_cor_capacity=banded_cor_capacity,
         emit_points=(
             POINTS_BUFFER
             if device_voxelize and sparse_plan_scales is None else 0),

@@ -60,6 +60,7 @@ def prep_pointcloud(input_dict,
                     sparse_plan_scales=None,
                     sparse_plan_banded=False,
                     sparse_plan_banded_bwd=False,
+                    sparse_plan_cor_capacity=8192,
                     emit_points=0,
                     quantize_points=False,
                     compact_targets=False,
@@ -283,7 +284,8 @@ def prep_pointcloud(input_dict,
         plan, counts = build_host_plan(
             coordinates, sparse_plan_scales, return_counts=True,
             banded=sparse_plan_banded,
-            banded_bwd=sparse_plan_banded and sparse_plan_banded_bwd)
+            banded_bwd=sparse_plan_banded and sparse_plan_banded_bwd,
+            banded_cor_capacity=sparse_plan_cor_capacity)
         example.update(plan)
         # per-downsample-stage (true_active, capacity) — spconv never
         # drops voxels (middle.py:199-209); the train loop surfaces

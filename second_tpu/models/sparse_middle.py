@@ -11,6 +11,7 @@ NHWC [B, H, W, D*C].
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -88,6 +89,10 @@ def plan_scales(middle_class_name, output_shape, max_voxels):
             "down": None,
             "out_cap": None,
             "out_shape": None,
+            # dense-tail scales need no rulebooks at all (the convs run
+            # as masked dense conv3d on device)
+            "dense": (cls.dense_from_scale is not None
+                      and len(scales) >= cls.dense_from_scale),
         }
         down_op = group[-1] if group[-1][0] == "down" else None
         if down_op is not None:
@@ -144,6 +149,8 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
     plan = {}
     counts = {}
     for i, sc in enumerate(scales):
+        if sc.get("dense"):
+            break  # dense-tail scales run as conv3d: no rulebooks
         shape = sc["shape"]
         if sc["subm_kernels"]:
             assert len(sc["subm_kernels"]) == 1, (
@@ -293,6 +300,16 @@ class SparseMiddleBase(nn.Module):
     # uses the XLA path (the kernel defines no VJP).
     use_banded: bool = False
     banded_cor_capacity: int = 8192
+    # Dense tail: from this scale index on, run the convs as plain XLA
+    # dense conv3d over the scattered grid instead of sparse gathers.
+    # The deep scales are small and >15% occupied (car.fhd scale 3:
+    # [5, 200, 176] at ~18%), where a masked dense conv is several
+    # times faster than any gather formulation AND exact: subm conv ==
+    # mask * conv(masked features) because inactive inputs are zero;
+    # strided conv == conv (untouched outputs are zero), with the TRUE
+    # dilated active set (no capacity truncation) recovered by
+    # convolving the occupancy mask.  None = never densify.
+    dense_from_scale: int = None
     # Static active-set capacity multiplier per downsample stage.
     # IMPORTANT: spconv's strided conv DILATES the active set (every
     # output whose kernel window touches an input is active,
@@ -339,7 +356,20 @@ class SparseMiddleBase(nn.Module):
         cin = self.num_input_features
         li = 0
         down_idx = 0
+        dense_feats = None  # set once the dense tail starts
+        dense_mask = None   # bool [B, D, H, W] active-site occupancy
         for scale_idx, group in enumerate(groups):
+            if (self.dense_from_scale is not None
+                    and scale_idx >= self.dense_from_scale):
+                if dense_feats is None:
+                    dense_feats = sparse.to_dense(grid)  # [B,D,H,W,C]
+                    ones = jnp.ones_like(grid.features[..., :1])
+                    dense_mask = sparse.to_dense(
+                        grid._replace(features=ones))[..., 0] > 0
+                dense_feats, dense_mask, cin, li = self._dense_group(
+                    group, dense_feats, dense_mask, cin, li, train)
+                down_idx += 1 if group[-1][0] == "down" else 0
+                continue
             subm_kernels = []
             for op in group:
                 if op[0] == "subm":
@@ -536,19 +566,90 @@ class SparseMiddleBase(nn.Module):
                 cin = cout
                 li += 1
 
-        dense = sparse.to_dense(grid)  # [B, D, H, W, C]
+        dense = (sparse.to_dense(grid) if dense_feats is None
+                 else dense_feats)  # [B, D, H, W, C]
         b, d, h, w_, c = dense.shape
         # NHWC pseudo-image with channel index c*D + d (matches the
         # reference's view(N, C*D, H, W) channel order, middle.py:206-209)
         return dense.transpose(0, 2, 3, 4, 1).reshape(b, h, w_, c * d)
 
+    def _dense_group(self, group, feats, mask, cin, li, train):
+        """One scale's ops as masked dense 3D convs (the dense tail).
+
+        feats [B, D, H, W, C]; mask bool [B, D, H, W] — the active set.
+        Exactness vs the sparse path: inactive features are zero, so
+        conv(feats) equals spconv's value at every active output;
+        subm outputs are re-masked to the input active set (spconv's
+        output set == input set); strided convs compute the TRUE
+        dilated active set by convolving the mask (any touched window,
+        middle.py:199-209 semantics — no capacity truncation here).
+        """
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+        dtype = feats.dtype
+        for op in group:
+            if op[0] == "subm":
+                _, cout, kernel = op
+                kernel = _t3(kernel)
+                stride = (1, 1, 1)
+                pad = tuple((kernel[a] - 1) // 2 for a in range(3))
+                is_subm = True
+            else:
+                _, cout, kernel, stride, pad = op
+                kernel = _t3(kernel)
+                stride = _t3(stride)
+                pad = _t3(pad)
+                is_subm = False
+            k = int(np.prod(kernel))
+            prefix = "subm" if is_subm else "down"
+            w = self.param(
+                f"{prefix}{li}_w",
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                (k, cin, cout))
+            bias = (None if self.use_norm else self.param(
+                f"{prefix}{li}_b", nn.initializers.zeros, (cout,)))
+            if self.compute_dtype is not None:
+                w = w.astype(self.compute_dtype)
+            padding = [(int(p), int(p)) for p in pad]
+            out = jax.lax.conv_general_dilated(
+                feats, w.reshape(kernel + (cin, cout)),
+                window_strides=stride, padding=padding,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32).astype(dtype)
+            if bias is not None:
+                out = out + bias
+            if is_subm:
+                out = jnp.where(mask[..., None], out, 0.0)
+            else:
+                # dilated active set = any output whose window touches
+                # an active input (exact spconv strided semantics)
+                mconv = jax.lax.conv_general_dilated(
+                    mask[..., None].astype(jnp.float32),
+                    jnp.ones(kernel + (1, 1), jnp.float32),
+                    window_strides=stride, padding=padding,
+                    dimension_numbers=dn)
+                mask = mconv[..., 0] > 0.5
+            if self.use_norm:
+                out = MaskedBatchNorm(name=f"bn{li}")(
+                    out, mask=mask, use_running_average=not train)
+            out = nn.relu(out)
+            feats = jnp.where(mask[..., None], out, 0.0)
+            cin = cout
+            li += 1
+        return feats, mask, cin, li
+
 
 @register_middle
 class SpMiddleFHD(SparseMiddleBase):
     """The SECOND FHD middle net (middle.py:110-210): 4 downsample
-    stages [41, 1600, 1408] -> [2, 200, 176], channels 16->32->64."""
+    stages [41, 1600, 1408] -> [2, 200, 176], channels 16->32->64.
+
+    dense_from_scale=3: the last subm stack + down run on the scattered
+    [5, 200, 176] grid (~18% occupied on KITTI scenes) as masked dense
+    convs — measured several times faster than the banded gather there.
+    """
 
     topology: Tuple = FHD_TOPOLOGY
+    dense_from_scale: int = 3
 
 
 @register_middle

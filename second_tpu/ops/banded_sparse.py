@@ -64,6 +64,11 @@ import numpy as np
 
 M = 128          # output rows per tile
 BLK = 128        # feature-table window block size
+# Grid decomposition note: a (tile, group)-grid variant (one offset
+# group per step, 6 window refs, VMEM-revisited output) was measured
+# ~5% SLOWER than this fused-tile kernel on the chip (round 5) — the
+# kernel is bound by one-hot row streaming + window DMA, not by
+# per-step body size.  Keep the single fused-tile kernel.
 WIN_BLOCKS = 6   # max window = 6 blocks (768 rows, ~p99 of spans);
                  # per-block DMAs are plan-gated, so a tile pays only
                  # for the blocks its spans actually need

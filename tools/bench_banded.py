@@ -91,11 +91,12 @@ def main():
     total_subm = 0.0
     total_down = 0.0
     groups = sm._group_topology(sm.FHD_TOPOLOGY)
+    ch = 4  # SimpleVoxel mean features (x, y, z, r)
     for i, sc in enumerate(scales):
         v_in = sc["in_cap"]
         n_subm = sum(1 for op in groups[i] if op[0] == "subm")
         if f"plan_subm{i}" in plan:
-            cin = sc["subm_widths"][0]
+            cin = ch
             cout = next(op[1] for op in groups[i] if op[0] == "subm")
             slots = plan[f"plan_subm{i}"].astype(np.int32)
             bp = banded_sparse.plan_from_host(
@@ -121,11 +122,12 @@ def main():
                   f"({tf:.1f} TF/s one-hot+gemm, "
                   f"cor={int(plan[f'plan_bsub{i}_cor_count'][0])})")
             total_subm += ms * n_subm
+            ch = cout
         if f"plan_conv{i}" in plan:
             v_out = sc["out_cap"]
             kern = sc["down"][0]
-            cin = sc["down_in_ch"]
-            cout_d = sc["down_out_ch"]
+            cin = ch
+            cout_d = next(op[1] for op in groups[i] if op[0] == "down")
             k = int(np.prod(kern))
             slots = plan[f"plan_conv{i}"].astype(np.int32)
             bp = banded_sparse.plan_from_host(
@@ -144,6 +146,7 @@ def main():
                   f"K={k}: {ms:.3f} ms "
                   f"(cor={int(plan[f'plan_bconv{i}_cor_count'][0])})")
             total_down += ms
+            ch = cout_d
     print(f"TOTAL subm {total_subm:.2f} ms + down {total_down:.2f} ms "
           f"= {total_subm + total_down:.2f} ms")
 

@@ -173,7 +173,11 @@ def main():
     from second_tpu.ops import banded_sparse
     x = vfeat
     mid_sum = 0.0
+    groups = sm._group_topology(sm.SpMiddleFHD.topology)
     for i, sc in enumerate(scales):
+        if sc.get("dense"):
+            print(f"  scale{i}+: dense tail (masked conv3d, no plans)")
+            break
         v_in = sc["in_cap"]
         cin = x.shape[-1]
         if sc["subm_kernels"]:
@@ -183,16 +187,15 @@ def main():
                 plan[f"plan_bsub{i}_hit"], plan[f"plan_bsub{i}_cor"],
                 plan[f"plan_bsub{i}_cor_count"],
                 v_in=v_in, kx=kern[2])
-            cout = sc["subm_widths"][-1]
+            cout = next(op[1] for op in groups[i] if op[0] == "subm")
             w = jnp.zeros((27, cin, cout), jnp.bfloat16)
             ms_c = scan_time(
                 lambda f, w, pl_=pl_: banded_sparse.banded_conv(f, pl_, w),
                 (x, w), it)
+            n_subm = sum(1 for op in groups[i] if op[0] == "subm")
             print(f"  scale{i} subm conv ({v_in}x{cin}->{cout}): "
-                  f"{ms_c:.3f} ms")
-            mid_sum += ms_c * len([
-                op for op in sm._group_topology(
-                    sm.SpMiddleFHD.topology)[i] if op[0] == "subm"])
+                  f"{ms_c:.3f} ms x{n_subm}")
+            mid_sum += ms_c * n_subm
             x = jnp.zeros((B, v_in, cout), jnp.bfloat16)
         if sc["down"] is not None:
             kernel, stride, padding = sc["down"]
@@ -204,7 +207,7 @@ def main():
                 plan[f"plan_bconv{i}_hit"], plan[f"plan_bconv{i}_cor"],
                 plan[f"plan_bconv{i}_cor_count"], v_in=v_in, kx=kernel[2],
                 vout=vout)
-            cout = sc["down_out_ch"]
+            cout = next(op[1] for op in groups[i] if op[0] == "down")
             w = jnp.zeros((k, cin2, cout), jnp.bfloat16)
             ms_c = scan_time(
                 lambda f, w, pl_=pl_: banded_sparse.banded_conv(f, pl_, w),
