@@ -62,6 +62,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
 M = 128          # output rows per tile
 BLK = 128        # feature-table window block size
 # Grid decomposition note: a (tile, group)-grid variant (one offset
@@ -136,7 +137,7 @@ def _fill_unused_bidx_jnp(used, cand):
     return jnp.take_along_axis(c, rows, axis=0).reshape(cand.shape)
 
 
-def build_banded_plan(slots, found, v_in, kx, cor_capacity=8192):
+def build_banded_plan(slots, found, v_in, kx, cor_capacity=4096):
     """slots [B, Vout, K] int32 (miss >= v_in), found [B, Vout, K] bool
     or None -> BandedPlan.  kx: kernel x-extent (offset group size).
     All ops are reshapes/reductions (no transposes); jit-traceable;
@@ -239,6 +240,10 @@ def _make_fused_kernel(kx, g, c, cout, out_dtype, vp_blocks, t_per_b):
                     base = (bidx_ref[(t * g + gi) * WIN_BLOCKS + j]
                             - (t // t_per_b) * vp_blocks) * BLK
                     wj = wins[j][:]
+                    # per-offset [M, BLK] one-hot dots; a merged
+                    # [kx*M, BLK] single-dot variant measured 2-5%
+                    # SLOWER on chip (launch overhead is negligible;
+                    # the extra result-slice copies are not)
                     for x in range(kx):
                         col = gi * kx + x
                         rel = s_ref[0, :, col:col + 1] - base   # [M, 1]
@@ -618,7 +623,7 @@ def host_transpose_rulebook(slots, v_in, vin_rows=None):
 # ---------------------------------------------------------------------------
 
 
-def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
+def host_banded_arrays(slots, v_in, kx, cor_capacity=4096):
     """Host planner: slots [Vout, K] (miss >= v_in) -> dict of
     per-example arrays (unbatched; the loader stacks them and
     :func:`plan_from_host` assembles the device BandedPlan together
@@ -642,7 +647,7 @@ def host_banded_arrays(slots, v_in, kx, cor_capacity=8192):
     return _host_banded_arrays_np(slots, v_in, kx, cor_capacity)
 
 
-def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=8192):
+def _host_banded_arrays_np(slots, v_in, kx, cor_capacity=4096):
     """numpy twin of the C++ banded planner (oracle + fallback)."""
     vout, k = slots.shape
     g = _grouping(k, kx)
