@@ -32,6 +32,20 @@ the gather ON the MXU:
     entries row-wise, apply per-entry weights, scatter-add.  Overflow
     of the static correction capacity is counted, never silent.
 
+Measured dead ends (round 5, all bit-exact, all SLOWER on the chip —
+do not re-try without new evidence; the kernel is bound by one-hot
+row streaming plus per-(tile, group, block) fixed cost ~0.8us, and
+every trade below pays more than it saves):
+  * (tile, group) 2-D grid (slim per-step body, 6 window refs): ~5%
+    slower — body size does not matter.
+  * merged [kx*M, BLK] one-hot single-dot per block: 2-5% slower —
+    dot-launch overhead is negligible, result-slice copies are not.
+  * lane packing (p rows per 128-lane super-row, windows over
+    super-rows, P-way lane select): 3-6x SLOWER (e2e 33 -> 11 fps)
+    despite ~25% fewer window blocks — seg[:, q*c:(q+1)*c] lane
+    slices trigger Mosaic lane-shift relayouts per (offset, block);
+    this is also what sank the round-4 "v6" kernel.
+
 The banded plan derives from the same slot rulebooks the XLA path
 uses.  In production the HOST planner emits the tiny bidx/hit/cor
 arrays alongside the rulebooks (host_banded_arrays, C++); the
