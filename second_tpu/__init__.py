@@ -21,12 +21,13 @@ Layout:
 __version__ = "0.1.0"
 
 
-def _enable_compilation_cache():
+def enable_compilation_cache():
     """Persistent XLA compilation cache: TPU compiles through a remote
     tunnel cost 1-10 min per program, so every entry point (CLI, bench,
     tests, tools) shares one on-disk cache.  Library-consumer safe: a
     no-op when the user already configured a cache (env var or
-    jax.config) or set SECOND_TPU_NO_JAX_CACHE=1."""
+    jax.config) or set SECOND_TPU_NO_JAX_CACHE=1, and it never touches
+    a config key the user has already set away from its default."""
     import os
 
     if os.environ.get("SECOND_TPU_NO_JAX_CACHE"):
@@ -39,9 +40,13 @@ def _enable_compilation_cache():
             return  # user-configured: leave their settings alone
         path = os.path.expanduser("~/.cache/second_tpu_jax")
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+            cur = jax.config.jax_persistent_cache_min_compile_time_secs
+            if cur == 1.0:  # jax default: only override untouched values
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
 
-_enable_compilation_cache()
+enable_compilation_cache()
