@@ -164,7 +164,8 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
                 _slot_dtype(sc["in_cap"]))
             if banded:
                 for name, a in banded_sparse.host_banded_arrays(
-                        subm_slots, v_in=sc["in_cap"], kx=kernel[2],
+                        subm_slots, v_in=sc["in_cap"],
+                        kx=banded_sparse.group_size(kernel),
                         cor_capacity=banded_cor_capacity).items():
                     plan[f"plan_bsub{i}_{name}"] = a
         if sc["down"] is not None:
@@ -181,7 +182,8 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
                 _slot_dtype(sc["in_cap"]))
             if banded:
                 for name, a in banded_sparse.host_banded_arrays(
-                        conv_slots, v_in=sc["in_cap"], kx=kernel[2],
+                        conv_slots, v_in=sc["in_cap"],
+                        kx=banded_sparse.group_size(kernel),
                         cor_capacity=banded_cor_capacity).items():
                     plan[f"plan_bconv{i}_{name}"] = a
                 if banded_bwd:
@@ -190,7 +192,8 @@ def build_host_plan(coords, scales, return_counts=False, banded=False,
                     plan[f"plan_btcv{i}_slots"] = slots_t.astype(
                         _slot_dtype(sc["out_cap"]))
                     for name, a in banded_sparse.host_banded_arrays(
-                            slots_t, v_in=sc["out_cap"], kx=kernel[2],
+                            slots_t, v_in=sc["out_cap"],
+                            kx=banded_sparse.group_size(kernel),
                             cor_capacity=banded_cor_capacity).items():
                         plan[f"plan_btcv{i}_{name}"] = a
             coords = out_coords
@@ -362,10 +365,14 @@ class SparseMiddleBase(nn.Module):
             if (self.dense_from_scale is not None
                     and scale_idx >= self.dense_from_scale):
                 if dense_feats is None:
-                    dense_feats = sparse.to_dense(grid)  # [B,D,H,W,C]
+                    # tail layout: [B, H, W, D, C] — the convs run as
+                    # z-folded 2D convs over [B, H, W, D*C]
+                    dense_feats = sparse.to_dense(grid).transpose(
+                        0, 2, 3, 1, 4)
                     ones = jnp.ones_like(grid.features[..., :1])
                     dense_mask = sparse.to_dense(
-                        grid._replace(features=ones))[..., 0] > 0
+                        grid._replace(features=ones))[..., 0].transpose(
+                            0, 2, 3, 1) > 0  # [B, H, W, D]
                 dense_feats, dense_mask, cin, li = self._dense_group(
                     group, dense_feats, dense_mask, cin, li, train)
                 down_idx += 1 if group[-1][0] == "down" else 0
@@ -475,11 +482,12 @@ class SparseMiddleBase(nn.Module):
                 for kernel in subm_kernels:
                     banded_subm[kernel] = _host_or_device(
                         f"plan_bsub{scale_idx}", rulebooks[kernel],
-                        v_in=v, kx=kernel[2], vout=v)
+                        v_in=v, kx=banded_sparse.group_size(kernel),
+                        vout=v)
                 banded_down = None
                 banded_down_bwd = None
                 if down_op is not None:
-                    kx_d = _t3(down_op[2])[2]
+                    kx_d = banded_sparse.group_size(_t3(down_op[2]))
                     vout_d = out_grid.lin.shape[-1]
                     banded_down = _host_or_device(
                         f"plan_bconv{scale_idx}",
@@ -505,6 +513,14 @@ class SparseMiddleBase(nn.Module):
                     self.sow(
                         "intermediates", f"banded_cor_scale{scale_idx}",
                         banded_down.cor_count)
+                    if banded_down_bwd is not None:
+                        # "counted, never silent": the transpose plan has
+                        # its own correction list — overflow there drops
+                        # input-gradient contributions
+                        self.sow(
+                            "intermediates",
+                            f"banded_cor_bwd_scale{scale_idx}",
+                            banded_down_bwd.cor_count)
 
             for op in group:
                 if op[0] == "subm":
@@ -566,17 +582,42 @@ class SparseMiddleBase(nn.Module):
                 cin = cout
                 li += 1
 
-        dense = (sparse.to_dense(grid) if dense_feats is None
-                 else dense_feats)  # [B, D, H, W, C]
-        b, d, h, w_, c = dense.shape
         # NHWC pseudo-image with channel index c*D + d (matches the
         # reference's view(N, C*D, H, W) channel order, middle.py:206-209)
-        return dense.transpose(0, 2, 3, 4, 1).reshape(b, h, w_, c * d)
+        if dense_feats is None:
+            dense = sparse.to_dense(grid)  # [B, D, H, W, C]
+            b, d, h, w_, c = dense.shape
+            return dense.transpose(0, 2, 3, 4, 1).reshape(b, h, w_, c * d)
+        b, h, w_, d, c = dense_feats.shape
+        return dense_feats.transpose(0, 1, 2, 4, 3).reshape(b, h, w_, c * d)
+
+    @staticmethod
+    def _zfold_weight(w3, kernel, d_in, stride_z, pad_z):
+        """Fold the z-extent of a 3D conv into channels: w3
+        [kz*ky*kx, Cin, Cout] -> ([ky, kx, d_in*Cin, d_out*Cout],
+        d_out).  conv2d over [B, H, W, D*C] with this weight equals
+        conv3d over [B, D, H, W, C]: XLA's conv3d lowering measured
+        17 TF/s on the chip while the folded 2D conv (C >= 256) runs
+        near MXU peak despite the embedded zeros (tools/bench_zfold.py,
+        tools/bench_gemm_conv.py)."""
+        kz, ky, kxx = kernel
+        k, cin, cout = w3.shape
+        w3r = w3.reshape(kz, ky, kxx, cin, cout)
+        d_out = (d_in + 2 * pad_z - kz) // stride_z + 1
+        w2 = jnp.zeros((ky, kxx, d_in * cin, d_out * cout), w3.dtype)
+        for do in range(d_out):
+            for dz in range(kz):
+                di = stride_z * do + dz - pad_z
+                if 0 <= di < d_in:
+                    w2 = w2.at[:, :, di * cin:(di + 1) * cin,
+                               do * cout:(do + 1) * cout].set(w3r[dz])
+        return w2, d_out
 
     def _dense_group(self, group, feats, mask, cin, li, train):
-        """One scale's ops as masked dense 3D convs (the dense tail).
+        """One scale's ops as masked z-folded 2D convs (the dense
+        tail).
 
-        feats [B, D, H, W, C]; mask bool [B, D, H, W] — the active set.
+        feats [B, H, W, D, C]; mask bool [B, H, W, D] — the active set.
         Exactness vs the sparse path: inactive features are zero, so
         conv(feats) equals spconv's value at every active output;
         subm outputs are re-masked to the input active set (spconv's
@@ -584,7 +625,6 @@ class SparseMiddleBase(nn.Module):
         dilated active set by convolving the mask (any touched window,
         middle.py:199-209 semantics — no capacity truncation here).
         """
-        dn = ("NDHWC", "DHWIO", "NDHWC")
         dtype = feats.dtype
         for op in group:
             if op[0] == "subm":
@@ -609,12 +649,16 @@ class SparseMiddleBase(nn.Module):
                 f"{prefix}{li}_b", nn.initializers.zeros, (cout,)))
             if self.compute_dtype is not None:
                 w = w.astype(self.compute_dtype)
-            padding = [(int(p), int(p)) for p in pad]
+            b, h, wd, d, _ = feats.shape
+            w2, d_out = self._zfold_weight(
+                w, kernel, d, stride[0], pad[0])
+            padding = [(int(pad[1]),) * 2, (int(pad[2]),) * 2]
             out = jax.lax.conv_general_dilated(
-                feats, w.reshape(kernel + (cin, cout)),
-                window_strides=stride, padding=padding,
-                dimension_numbers=dn,
+                feats.reshape(b, h, wd, d * cin), w2,
+                window_strides=(stride[1], stride[2]), padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32).astype(dtype)
+            out = out.reshape(out.shape[:3] + (d_out, cout))
             if bias is not None:
                 out = out + bias
             if is_subm:
@@ -622,12 +666,15 @@ class SparseMiddleBase(nn.Module):
             else:
                 # dilated active set = any output whose window touches
                 # an active input (exact spconv strided semantics)
+                w2m, _ = self._zfold_weight(
+                    jnp.ones((k, 1, 1), jnp.float32), kernel, d,
+                    stride[0], pad[0])
                 mconv = jax.lax.conv_general_dilated(
-                    mask[..., None].astype(jnp.float32),
-                    jnp.ones(kernel + (1, 1), jnp.float32),
-                    window_strides=stride, padding=padding,
-                    dimension_numbers=dn)
-                mask = mconv[..., 0] > 0.5
+                    mask.astype(jnp.float32), w2m,
+                    window_strides=(stride[1], stride[2]),
+                    padding=padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                mask = mconv > 0.5
             if self.use_norm:
                 out = MaskedBatchNorm(name=f"bn{li}")(
                     out, mask=mask, use_running_average=not train)

@@ -105,7 +105,7 @@ def main():
                 jnp.asarray(plan[f"plan_bsub{i}_hit"])[None],
                 jnp.asarray(plan[f"plan_bsub{i}_cor"])[None],
                 jnp.asarray(plan[f"plan_bsub{i}_cor_count"])[None],
-                v_in=v_in, kx=3)
+                v_in=v_in, kx=9)
             feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
             w = jax.random.normal(key, (27, cin, cout), jnp.bfloat16)
             ms = scan_time(
@@ -113,7 +113,7 @@ def main():
                     ft, bp, w), feats, args.iters)
             t = -(-v_in // banded_sparse.M)
             blocks = int(plan[f"plan_bsub{i}_hit"].sum())
-            gmm = (blocks * 3 * banded_sparse.M
+            gmm = (blocks * 9 * banded_sparse.M
                    * banded_sparse.BLK * cin * 2)
             cmm = t * 27 * banded_sparse.M * cin * cout * 2
             tf = (gmm + cmm) / (ms * 1e-3) / 1e12
@@ -136,7 +136,7 @@ def main():
                 jnp.asarray(plan[f"plan_bconv{i}_hit"])[None],
                 jnp.asarray(plan[f"plan_bconv{i}_cor"])[None],
                 jnp.asarray(plan[f"plan_bconv{i}_cor_count"])[None],
-                v_in=v_in, kx=kern[2], vout=v_out)
+                v_in=v_in, kx=banded_sparse.group_size(kern), vout=v_out)
             feats = jax.random.normal(key, (1, v_in, cin), jnp.bfloat16)
             w = jax.random.normal(key, (k, cin, cout_d), jnp.bfloat16)
             ms = scan_time(

@@ -60,7 +60,7 @@ def main():
         jnp.asarray(plan_np["plan_bsub0_hit"])[None],
         jnp.asarray(plan_np["plan_bsub0_cor"])[None],
         jnp.asarray(plan_np["plan_bsub0_cor_count"])[None],
-        v_in=V, kx=3)
+        v_in=V, kx=banded_sparse.group_size((3, 3, 3)))
 
     def loss(f, w, interp):
         return (banded_sparse.banded_conv(f, bp, w, interpret=interp)

@@ -186,7 +186,7 @@ def main():
                 plan[f"plan_subm{i}"], plan[f"plan_bsub{i}_bidx"],
                 plan[f"plan_bsub{i}_hit"], plan[f"plan_bsub{i}_cor"],
                 plan[f"plan_bsub{i}_cor_count"],
-                v_in=v_in, kx=kern[2])
+                v_in=v_in, kx=banded_sparse.group_size(kern))
             cout = next(op[1] for op in groups[i] if op[0] == "subm")
             w = jnp.zeros((27, cin, cout), jnp.bfloat16)
             ms_c = scan_time(
@@ -205,8 +205,8 @@ def main():
             pl_ = banded_sparse.plan_from_host(
                 plan[f"plan_conv{i}"], plan[f"plan_bconv{i}_bidx"],
                 plan[f"plan_bconv{i}_hit"], plan[f"plan_bconv{i}_cor"],
-                plan[f"plan_bconv{i}_cor_count"], v_in=v_in, kx=kernel[2],
-                vout=vout)
+                plan[f"plan_bconv{i}_cor_count"], v_in=v_in,
+                kx=banded_sparse.group_size(kernel), vout=vout)
             cout = next(op[1] for op in groups[i] if op[0] == "down")
             w = jnp.zeros((k, cin2, cout), jnp.bfloat16)
             ms_c = scan_time(
