@@ -171,6 +171,26 @@ def main():
 
     # per-conv cost: one banded conv per scale, subm + down
     from second_tpu.ops import banded_sparse
+
+    PEAK_TFS = 198.8  # v5e bf16 MXU peak (1 chip)
+
+    def mfu_line(ms, slots_np, hit_np, cin, cout, kx):
+        """FLOPs accounting for one banded conv: USEFUL (gathered true
+        pairs x Cin x Cout x 2) vs ISSUED (one-hot gather dots + group
+        GEMMs at static capacity) vs the chip peak."""
+        v_in_local = int(slots_np.max())  # miss marker == v_in
+        pairs = int((slots_np < v_in_local).sum())
+        useful = pairs * cin * cout * 2
+        m, blk = banded_sparse.M, banded_sparse.BLK
+        onehot = int(hit_np.sum()) * kx * m * blk * cin * 2
+        ggemm = int((hit_np > 0).sum()) * m * kx * cin * cout * 2
+        issued = onehot + ggemm
+        eff_tfs = issued / (ms * 1e-3) / 1e12
+        return (f"useful {useful / 1e9:.2f} GF, issued "
+                f"{issued / 1e9:.2f} GF ({100 * useful / issued:.0f}% "
+                f"useful), {eff_tfs:.1f} TF/s issued = "
+                f"{100 * eff_tfs / PEAK_TFS:.1f}% MXU peak")
+
     x = vfeat
     mid_sum = 0.0
     groups = sm._group_topology(sm.SpMiddleFHD.topology)
@@ -194,7 +214,10 @@ def main():
                 (x, w), it)
             n_subm = sum(1 for op in groups[i] if op[0] == "subm")
             print(f"  scale{i} subm conv ({v_in}x{cin}->{cout}): "
-                  f"{ms_c:.3f} ms x{n_subm}")
+                  f"{ms_c:.3f} ms x{n_subm}  "
+                  + mfu_line(ms_c, plan_np[f"plan_subm{i}"],
+                             plan_np[f"plan_bsub{i}_hit"], cin, cout,
+                             banded_sparse.group_size(kern)))
             mid_sum += ms_c * n_subm
             x = jnp.zeros((B, v_in, cout), jnp.bfloat16)
         if sc["down"] is not None:
@@ -213,7 +236,10 @@ def main():
                 lambda f, w, pl_=pl_: banded_sparse.banded_conv(f, pl_, w),
                 (x, w), it)
             print(f"  scale{i} down conv ({v_in}->{vout} x{cin2}->{cout}):"
-                  f" {ms_c:.3f} ms")
+                  f" {ms_c:.3f} ms  "
+                  + mfu_line(ms_c, plan_np[f"plan_conv{i}"],
+                             plan_np[f"plan_bconv{i}_hit"], cin2, cout,
+                             banded_sparse.group_size(kernel)))
             mid_sum += ms_c
             x = jnp.zeros((B, vout, cout), jnp.bfloat16)
     print(f"per-conv sum: {mid_sum:.2f} ms (middle measured whole: "
