@@ -173,6 +173,90 @@ def bench_car_fhd(batch=1):
     return B / dt
 
 
+def bench_car_fhd_train(batch=2, iters=20):
+    """car.fhd TRAIN-STEP throughput (fwd + bwd + optimizer, banded
+    kernels with custom VJP, host-built forward AND transpose plans) —
+    the reference trains car.fhd at ~8 frames/s (50 epochs / 6.5 h,
+    reference README.md:36).  Synthetic targets: throughput does not
+    depend on label values."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from second_tpu.builders import build_network
+    from second_tpu.data.synthetic import make_kitti_scene
+    from second_tpu.models import sparse_middle as sm
+    from second_tpu.train.state import TrainState, make_train_step
+    from second_tpu.utils.config_tool import read_config
+
+    cfg = read_config("/root/reference/second/configs/car.fhd.config")
+    parts = build_network(cfg.model.second, compute_dtype="bfloat16",
+                          use_banded=True)
+    net, spec, gen = parts["net"], parts["spec"], parts["voxel_generator"]
+    anchors = parts["anchor_cache"]["anchors"].astype(np.float32)
+
+    V = 17000
+    points, _, _ = make_kitti_scene(np.random.RandomState(0))
+    res = gen.generate_multi_gpu(points, max_voxels=V)
+    n = int(res["voxel_num"])
+    coords1 = np.full((V, 3), -1, np.int32)
+    coords1[:n] = res["coordinates"][:n]
+    scales = sm.plan_scales(
+        "SpMiddleFHD", [1] + gen.grid_size[::-1].tolist() + [16], V)
+    d0, h0, w0 = scales[0]["shape"]
+    lin = np.where(
+        coords1[:, 0] >= 0,
+        (coords1[:, 0].astype(np.int64) * h0 + coords1[:, 1]) * w0
+        + coords1[:, 2], d0 * h0 * w0)
+    order = np.argsort(lin, kind="stable")
+    coords1 = coords1[order]
+    res["voxels"] = res["voxels"][order]
+    res["num_points_per_voxel"] = res["num_points_per_voxel"][order]
+    plan_np = sm.build_host_plan(coords1, scales, banded=True,
+                                 banded_bwd=True)
+
+    counts_np = res["num_points_per_voxel"].astype(np.float32)
+    means_np = (res["voxels"].astype(np.float32).sum(axis=1)
+                / np.maximum(counts_np, 1)[:, None])
+    B = batch
+    bcast = lambda a: np.broadcast_to(a[None], (B,) + a.shape)
+    A = anchors.shape[0]
+    rng = np.random.RandomState(1)
+    labels = np.zeros((B, A), np.int32)
+    labels[:, rng.choice(A, 40, replace=False)] = 1
+    labels[:, rng.choice(A, 200, replace=False)] = -1
+    example = {
+        "voxels": jnp.asarray(bcast(means_np)),
+        "num_points": jnp.asarray(
+            bcast(res["num_points_per_voxel"].astype(np.int32))),
+        "coordinates": jnp.asarray(bcast(coords1)),
+        "anchors": jnp.asarray(bcast(anchors)),
+        "labels": jnp.asarray(labels),
+        "reg_targets": jnp.asarray(
+            rng.randn(B, A, spec.box_code_size).astype(np.float32) * 0.1),
+        **{k: jnp.asarray(bcast(v)) for k, v in plan_np.items()},
+    }
+
+    variables = jax.jit(
+        lambda k, ex: net.init(
+            k, ex["voxels"], ex["num_points"], ex["coordinates"],
+            sparse_plan={kk: v for kk, v in ex.items()
+                         if kk.startswith("plan_")})
+    )(jax.random.PRNGKey(0), example)
+    tx = optax.adamw(1e-3, weight_decay=1e-4)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(net, spec, tx)
+
+    state, metrics = step(state, example)
+    _ = _sync(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, example)
+    _ = _sync(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return B / dt
+
+
 def bench_car_fhd_pipeline(batch=1, workers=6, frames=48):
     """SUSTAINED car.fhd inference: voxelize + C++ plan + H2D INSIDE
     the measured loop, planning overlapped with device compute via a
@@ -294,6 +378,14 @@ def main():
     except Exception as e:  # must not take down the core metrics
         print(f"# car.fhd pipeline bench failed: {e!r}")
         pipe_fps = plan_ms = h2d_mb = None
+    try:
+        train_fps = bench_car_fhd_train()
+        print(f"# car.fhd train step (fwd+bwd+opt, banded, batch 2): "
+              f"{train_fps:.2f} frames/s/chip "
+              f"(reference trains at ~8 frames/s)")
+    except Exception as e:
+        print(f"# car.fhd train bench failed: {e!r}")
+        train_fps = None
     pp_fps = bench_pointpillars()
     print(f"# pointpillars e2e: {pp_fps:.2f} frames/s/chip")
     print(json.dumps({
@@ -312,6 +404,8 @@ def main():
             round(plan_ms, 1) if plan_ms is not None else None),
         "car_fhd_h2d_mb_per_frame": (
             round(h2d_mb, 2) if h2d_mb is not None else None),
+        "car_fhd_train_fps": (
+            round(train_fps, 2) if train_fps is not None else None),
         "host_cores": ncores,
     }))
 
